@@ -1,0 +1,44 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU platform.
+
+This is the TPU answer to "test multi-chip without a real slice"
+(SURVEY.md §4): all sharding/pjit tests run against
+``--xla_force_host_platform_device_count=8``.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+REFERENCE_MESH_DIR = "/root/reference/meshes"
+
+
+@pytest.fixture(scope="session")
+def cube_mesh():
+    """The cube.ply fixture from the reference repo (8 verts, 12 faces)."""
+    from surfacenetworks_tpu.geometry import load_ply
+
+    path = os.path.join(REFERENCE_MESH_DIR, "cube.ply")
+    if not os.path.exists(path):
+        pytest.skip("reference cube.ply not available")
+    return load_ply(path)
+
+
+@pytest.fixture(scope="session")
+def random_mesh():
+    """A small irregular triangulated height-field mesh (deterministic)."""
+    rng = np.random.default_rng(0)
+    from scipy.spatial import Delaunay
+
+    pts = rng.uniform(0, 1, size=(40, 2))
+    tri = Delaunay(pts)
+    z = 0.3 * np.sin(3 * pts[:, 0]) * np.cos(2 * pts[:, 1])
+    V = np.concatenate([tri.points, z[:, None]], axis=1)
+    F = np.asarray(tri.simplices, dtype=np.int32)
+    return V, F
