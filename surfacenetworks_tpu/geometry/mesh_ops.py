@@ -256,6 +256,11 @@ class DiracCoeffs:
     vf_face: np.ndarray  # [N, Kv] int32 — incident face index (0-padded)
     vf_corner: np.ndarray  # [N, Kv] int32 — corner of this vertex in that face
     q_vf: np.ndarray  # [N, Kv, 4] float32 — DiA quaternion coeffs (0-padded)
+    # adjoint coefficient tables for transpose-operator VJPs (the TPU analogue
+    # of the reference's stored-transpose backward, sparse_bmm_func.py:53-72);
+    # uses L(q)^T = L(conj q) and conj(pure e) = -e:
+    q_bwd_v: np.ndarray  # [N, Kv, 4] — VJP of Di  (vertices <- faces): -q_fv at (vf_face, vf_corner)
+    q_bwd_f: np.ndarray  # [M, 3, 4]  — VJP of DiA (faces <- vertices): -q_vf at matching slots
     n_vertices: int
     n_faces: int
 
@@ -295,12 +300,19 @@ def dirac_coeffs(V: np.ndarray, F: np.ndarray, max_valence: int | None = None) -
     # DiA coeff: +e_{i,c} / (2 A_v[j])
     ecoef = e[faces_sorted[keep], corners_sorted[keep]] / (2.0 * Av[verts_sorted[keep]])[:, None]
     q_vf[verts_sorted[keep], slot[keep], 1:] = ecoef
+
+    q_bwd_v = np.zeros((n, Kv, 4))
+    q_bwd_v[verts_sorted[keep], slot[keep]] = -q_fv[faces_sorted[keep], corners_sorted[keep]]
+    q_bwd_f = np.zeros((m, 3, 4))
+    q_bwd_f[faces_sorted[keep], corners_sorted[keep]] = -q_vf[verts_sorted[keep], slot[keep]]
     return DiracCoeffs(
         F=F,
         q_fv=q_fv.astype(np.float32),
         vf_face=vf_face,
         vf_corner=vf_corner,
         q_vf=q_vf.astype(np.float32),
+        q_bwd_v=q_bwd_v.astype(np.float32),
+        q_bwd_f=q_bwd_f.astype(np.float32),
         n_vertices=n,
         n_faces=m,
     )

@@ -1,0 +1,219 @@
+"""Static-shape sparse containers for TPU: padded ELL and structured Dirac.
+
+Design rationale (TPU-first, not a CUDA translation):
+
+* Mesh operators have *bounded row degree* (cotan Laplacian rows ~7 nnz,
+  Dirac face rows exactly 3 quaternion blocks, vertex rows <= max valence).
+  A padded ELL layout — per row a fixed number ``K`` of (column, value)
+  slots, zero-padded — therefore wastes little and gives XLA fully static
+  shapes: SpMM becomes gather + multiply + reduce, the feature dimension
+  (128 in every Surface Networks model) rides the TPU lane axis.
+* The reference instead JIT-compiles CUDA per batch shape
+  (``utils/cuda/sparse_bmm.py:29-47``) and converts COO->CSR on device每
+  step (``batch_csr.cu``).  On TPU, shapes must be static anyway, so the
+  conversion work moves entirely to the host (NumPy, at data-load time) and
+  the device kernel sees only dense arrays.
+* Batching: the reference concatenates per-mesh operators block-diagonally
+  into one big 2-D sparse matrix (``utils/utils_pt.py:41-53``).  Here a
+  batch is simply a leading axis on ``cols``/``vals`` + ``vmap`` — the
+  block-diagonal structure is implicit and no index offsetting exists.
+* Backward: operators are constants (``sparse_bmm_func.py:62`` leaves
+  ``grad_matrix1=None``); each operator stores its pre-transposed ELL for
+  the VJP.  The Dirac pair (Di, DiA) likewise stores adjoint quaternion
+  tables (DiA is *not* Di^T — it is area-rescaled, ``utils/mesh.py:59``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import scipy.sparse as sp
+from flax import struct
+
+from surfacenetworks_tpu.geometry.mesh_ops import DiracCoeffs
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@struct.dataclass
+class EllMatrix:
+    """Padded ELL sparse matrix of logical shape ``(n_rows, n_cols)``.
+
+    ``cols[r, k]`` / ``vals[r, k]``: the k-th nonzero of row r; padding slots
+    have ``cols == 0`` and ``vals == 0`` so they contribute nothing.  A leading
+    batch axis is allowed on both arrays (block-diagonal batch of operators).
+    """
+
+    cols: Any  # int32 [..., R, K]
+    vals: Any  # float32 [..., R, K]
+    n_cols: int = struct.field(pytree_node=False)
+
+    @property
+    def n_rows(self) -> int:
+        return self.cols.shape[-2]
+
+    @property
+    def k(self) -> int:
+        return self.cols.shape[-1]
+
+
+@struct.dataclass
+class EllOperator:
+    """A linear operator with its stored transpose (for the custom VJP)."""
+
+    fwd: EllMatrix
+    bwd: EllMatrix  # ELL of the transpose
+
+
+@struct.dataclass
+class DiracOperator:
+    """Structured quaternionic Dirac operator pair (Di, DiA) for one mesh.
+
+    Feature layout convention (parity with ``utils/utils_pt.py:197-215``): a
+    ``[N, C]`` feature tensor with ``C % 4 == 0`` is interpreted as ``[N, 4,
+    C//4]`` quaternion-valued channels — quaternion component is the *leading*
+    split of the channel axis.
+
+    ``Di  v``: faces <- vertices, ``out[i] = sum_c q_fv[i,c] (x) v[F[i,c]]``.
+    ``DiA f``: vertices <- faces, ``out[j] = sum_s q_vf[j,s] (x) f[vf_face[j,s]]``.
+    ``q_bwd_v`` / ``q_bwd_f`` are the adjoint tables used by the VJPs.
+    A leading batch axis on every array is allowed (vmap-batched meshes).
+    """
+
+    faces: Any  # int32 [..., M, 3]
+    q_fv: Any  # f32 [..., M, 3, 4]
+    vf_face: Any  # int32 [..., N, Kv]
+    q_vf: Any  # f32 [..., N, Kv, 4]
+    q_bwd_v: Any  # f32 [..., N, Kv, 4]
+    q_bwd_f: Any  # f32 [..., M, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# host-side builders (NumPy)
+# ---------------------------------------------------------------------------
+
+
+def ell_from_scipy(
+    M: sp.spmatrix,
+    k: int | None = None,
+    n_rows: int | None = None,
+    n_cols: int | None = None,
+    k_multiple: int = 1,
+) -> EllMatrix:
+    """Pack a scipy sparse matrix into padded ELL (NumPy arrays).
+
+    ``n_rows`` / ``n_cols`` optionally pad the logical shape (static-shape
+    bucketing); ``k`` fixes the slot count (defaults to the max row degree,
+    rounded up to ``k_multiple``).  Raises if ``k`` is too small.
+    """
+    csr = M.tocsr()
+    csr.sum_duplicates()
+    deg = np.diff(csr.indptr)
+    kmax = int(deg.max()) if len(deg) and deg.size else 0
+    if k is None:
+        k = max(_round_up(max(kmax, 1), k_multiple), 1)
+    elif kmax > k:
+        raise ValueError(f"ELL k={k} smaller than max row degree {kmax}")
+    R = n_rows if n_rows is not None else M.shape[0]
+    C = n_cols if n_cols is not None else M.shape[1]
+    if R < M.shape[0] or C < M.shape[1]:
+        raise ValueError("padded shape smaller than matrix shape")
+    cols = np.zeros((R, k), dtype=np.int32)
+    vals = np.zeros((R, k), dtype=np.float32)
+    # vectorized fill: slot index within row
+    nnz = csr.indptr[-1]
+    row_of = np.repeat(np.arange(M.shape[0]), deg)
+    slot = np.arange(nnz) - np.repeat(csr.indptr[:-1], deg)
+    cols[row_of, slot] = csr.indices
+    vals[row_of, slot] = csr.data
+    return EllMatrix(cols=cols, vals=vals, n_cols=C)
+
+
+def operator_from_scipy(
+    M: sp.spmatrix,
+    k: int | None = None,
+    n_rows: int | None = None,
+    n_cols: int | None = None,
+    k_multiple: int = 1,
+) -> EllOperator:
+    """Build an ``EllOperator`` (forward + stored transpose) from scipy."""
+    fwd = ell_from_scipy(M, k=k, n_rows=n_rows, n_cols=n_cols, k_multiple=k_multiple)
+    # transpose max row degree generally differs from the forward one
+    bwd = ell_from_scipy(
+        M.T.tocsr(), k=None, n_rows=n_cols, n_cols=n_rows, k_multiple=k_multiple
+    )
+    return EllOperator(fwd=fwd, bwd=bwd)
+
+
+def stack_operators(ops: list[EllOperator]) -> EllOperator:
+    """Stack per-mesh operators into a batched operator (leading axis).
+
+    All operators must share padded shapes — the TPU replacement for the
+    reference's ``sparse_diag_cat`` / ``sparse_cat`` (utils/utils_pt.py:21-53):
+    the block-diagonal batch structure is expressed as a batch axis + vmap.
+    """
+    fwd_cols = np.stack([o.fwd.cols for o in ops])
+    fwd_vals = np.stack([o.fwd.vals for o in ops])
+    bwd_cols = np.stack([o.bwd.cols for o in ops])
+    bwd_vals = np.stack([o.bwd.vals for o in ops])
+    return EllOperator(
+        fwd=EllMatrix(cols=fwd_cols, vals=fwd_vals, n_cols=ops[0].fwd.n_cols),
+        bwd=EllMatrix(cols=bwd_cols, vals=bwd_vals, n_cols=ops[0].bwd.n_cols),
+    )
+
+
+def dirac_from_coeffs(
+    coeffs: DiracCoeffs,
+    n_vertices: int | None = None,
+    n_faces: int | None = None,
+    max_valence: int | None = None,
+) -> DiracOperator:
+    """Pad a host-side ``DiracCoeffs`` into a static-shape ``DiracOperator``.
+
+    Zero quaternion coefficients make padded faces/vertices/slots inert, so
+    bucketing is plain zero-padding.
+    """
+    N = n_vertices if n_vertices is not None else coeffs.n_vertices
+    M = n_faces if n_faces is not None else coeffs.n_faces
+    Kv = max_valence if max_valence is not None else coeffs.vf_face.shape[1]
+    if N < coeffs.n_vertices or M < coeffs.n_faces or Kv < coeffs.vf_face.shape[1]:
+        raise ValueError("padded shape smaller than mesh")
+
+    def pad(a, shape):
+        out = np.zeros(shape, dtype=a.dtype)
+        out[tuple(slice(0, s) for s in a.shape)] = a
+        return out
+
+    return DiracOperator(
+        faces=pad(coeffs.F.astype(np.int32), (M, 3)),
+        q_fv=pad(coeffs.q_fv, (M, 3, 4)),
+        vf_face=pad(coeffs.vf_face.astype(np.int32), (N, Kv)),
+        q_vf=pad(coeffs.q_vf, (N, Kv, 4)),
+        q_bwd_v=pad(coeffs.q_bwd_v, (N, Kv, 4)),
+        q_bwd_f=pad(coeffs.q_bwd_f, (M, 3, 4)),
+    )
+
+
+def stack_dirac(ops: list[DiracOperator]) -> DiracOperator:
+    """Batch per-mesh Dirac operators along a new leading axis."""
+    return DiracOperator(
+        faces=np.stack([o.faces for o in ops]),
+        q_fv=np.stack([o.q_fv for o in ops]),
+        vf_face=np.stack([o.vf_face for o in ops]),
+        q_vf=np.stack([o.q_vf for o in ops]),
+        q_bwd_v=np.stack([o.q_bwd_v for o in ops]),
+        q_bwd_f=np.stack([o.q_bwd_f for o in ops]),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class EllSpec:
+    """Static bucket description for a dataset (choose once, reuse per batch)."""
+
+    n_rows: int
+    n_cols: int
+    k: int

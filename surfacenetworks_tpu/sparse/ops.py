@@ -1,0 +1,224 @@
+"""Device-side sparse ops: ELL SpMM and structured Dirac applies.
+
+All ops are jit-safe (static shapes), batched via a leading axis, and carry
+custom VJPs that multiply by the *stored transpose* operator — mirroring the
+reference's backward (``utils/cuda/sparse_bmm_func.py:53-72``: transpose the
+constant operator, SpMM with the cotangent; operator itself gets no gradient).
+
+Implementations:
+
+* ``'xla'``    — gather + multiply + reduce; XLA fuses this well on TPU and it
+  is the reference semantics for tests.
+* ``'pallas'`` — hand-tiled Pallas kernel (see ``pallas_kernels.py``) for the
+  hot path; selected via ``set_default_implementation`` or per-call.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from surfacenetworks_tpu.sparse.ell import DiracOperator, EllMatrix, EllOperator
+
+_DEFAULT_IMPL = "xla"
+
+
+def set_default_implementation(impl: str) -> None:
+    global _DEFAULT_IMPL
+    if impl not in ("xla", "pallas"):
+        raise ValueError(impl)
+    _DEFAULT_IMPL = impl
+
+
+def get_default_implementation() -> str:
+    return _DEFAULT_IMPL
+
+
+# ---------------------------------------------------------------------------
+# raw ELL matvec (no custom grad) — single matrix [R,K] x dense [N,C]
+# ---------------------------------------------------------------------------
+
+
+def _ell_matmul_xla(cols: jnp.ndarray, vals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """out[r] = sum_k vals[r,k] * x[cols[r,k]];  cols [R,K], x [N,C] -> [R,C]."""
+    gathered = jnp.take(x, cols, axis=0)  # [R, K, C]
+    return jnp.sum(vals[..., None] * gathered, axis=-2)
+
+
+def _ell_matmul(cols, vals, x, impl: str | None = None):
+    impl = impl or _DEFAULT_IMPL
+    if impl == "pallas":
+        from surfacenetworks_tpu.sparse import pallas_kernels
+
+        return pallas_kernels.ell_matmul(cols, vals, x)
+    return _ell_matmul_xla(cols, vals, x)
+
+
+# ---------------------------------------------------------------------------
+# spmm with transpose-operator VJP
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def spmm(op: EllOperator, x: jnp.ndarray) -> jnp.ndarray:
+    """``op.fwd @ x`` with batching.
+
+    Unbatched: ``op.fwd.cols [R,K]``, ``x [N,C]`` -> ``[R,C]``.
+    Batched:   ``op.fwd.cols [B,R,K]``, ``x [B,N,C]`` -> ``[B,R,C]`` — the
+    TPU equivalent of the reference's block-diagonal ``torch.mm`` on a
+    ``[B*N, C]`` view (utils/utils_pt.py:167) and of its batched-CSR CUDA
+    ``SparseBMM`` (utils/cuda/sparse_bmm.cu).
+    """
+    return _spmm_fwd_only(op.fwd, x)
+
+
+def _spmm_fwd_only(m: EllMatrix, x: jnp.ndarray) -> jnp.ndarray:
+    if m.cols.ndim == 2:
+        return _ell_matmul(m.cols, m.vals, x)
+    assert m.cols.ndim == 3 and x.ndim == 3, (m.cols.shape, x.shape)
+    return jax.vmap(_ell_matmul)(m.cols, m.vals, x)
+
+
+def _spmm_vjp_fwd(op, x):
+    return spmm(op, x), op
+
+
+def _spmm_vjp_bwd(op, g):
+    x_bar = _spmm_fwd_only(op.bwd, g)
+    op_bar = jax.tree_util.tree_map(jnp.zeros_like, op)
+    return (op_bar, x_bar)
+
+
+spmm.defvjp(_spmm_vjp_fwd, _spmm_vjp_bwd)
+
+
+def dense_bmm(L: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Dense operator apply on the MXU (reference ``torch.bmm(L, x)`` paths:
+    DenseLapResNet2, ARAP ``--dense``)."""
+    return jnp.einsum("...nm,...mc->...nc", L, x)
+
+
+# ---------------------------------------------------------------------------
+# quaternion algebra (VPU elementwise; channel axis rides the 128-lane dim)
+# ---------------------------------------------------------------------------
+
+
+def quaternion_mul(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product ``q (x) x`` broadcast over channels.
+
+    ``q [..., 4]`` (coefficients), ``x [..., 4, C]`` (quaternion features) ->
+    ``[..., 4, C]``.  Identical to multiplying by the reference's
+    ``quaternion_matrix(q)`` (utils/mesh.py:28-33) on the left.
+    """
+    a, b, c, d = (q[..., i, None] for i in range(4))
+    xw, xx, xy, xz = (x[..., i, :] for i in range(4))
+    return jnp.stack(
+        [
+            a * xw - b * xx - c * xy - d * xz,
+            a * xx + b * xw + c * xz - d * xy,
+            a * xy - b * xz + c * xw + d * xx,
+            a * xz + b * xy - c * xx + d * xw,
+        ],
+        axis=-2,
+    )
+
+
+def to_quaternion_layout(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., N, C] -> [..., N, 4, C//4] (parity with the reference's
+    ``view(B*N*4, C//4)`` reshape, utils/utils_pt.py:201)."""
+    *lead, n, ch = x.shape
+    assert ch % 4 == 0, f"channels {ch} not divisible by 4"
+    return x.reshape(*lead, n, 4, ch // 4)
+
+
+def from_quaternion_layout(x: jnp.ndarray) -> jnp.ndarray:
+    *lead, n, four, c4 = x.shape
+    return x.reshape(*lead, n, four * c4)
+
+
+# ---------------------------------------------------------------------------
+# structured Dirac applies
+# ---------------------------------------------------------------------------
+
+
+def _dirac_gather_apply(idx, q, xq):
+    """out[r] = sum_s q[r,s] (x) xq[idx[r,s]];  idx [R,S], q [R,S,4],
+    xq [N,4,C] -> [R,4,C]."""
+    gathered = jnp.take(xq, idx, axis=0)  # [R, S, 4, C]
+    prods = quaternion_mul(q, gathered)  # [R, S, 4, C]
+    return jnp.sum(prods, axis=-3)
+
+
+@jax.custom_vjp
+def dirac_apply_vf(op: DiracOperator, v: jnp.ndarray) -> jnp.ndarray:
+    """``Di @ v``: vertex features -> face features.
+
+    ``v [..., N, C]`` (C % 4 == 0) -> ``[..., M, C]``.  Parity:
+    ``torch.mm(Di, x.view(B*N*4, C//4))`` (utils/utils_pt.py:201-203).
+    """
+    return _dirac_vf_raw(op.faces, op.q_fv, v)
+
+
+def _dirac_vf_raw(faces, q_fv, v):
+    vq = to_quaternion_layout(v)
+    if faces.ndim == 2:
+        out = _dirac_gather_apply(faces, q_fv, vq)
+    else:
+        out = jax.vmap(_dirac_gather_apply)(faces, q_fv, vq)
+    return from_quaternion_layout(out)
+
+
+def _dirac_vf_fwd(op, v):
+    return dirac_apply_vf(op, v), op
+
+
+def _dirac_vf_bwd(op, g):
+    # v_bar[j] = sum over incident (face,corner): conj(q_fv) (x) g[face]
+    gq = to_quaternion_layout(g)
+    if op.vf_face.ndim == 2:
+        out = _dirac_gather_apply(op.vf_face, op.q_bwd_v, gq)
+    else:
+        out = jax.vmap(_dirac_gather_apply)(op.vf_face, op.q_bwd_v, gq)
+    op_bar = jax.tree_util.tree_map(jnp.zeros_like, op)
+    return (op_bar, from_quaternion_layout(out))
+
+
+dirac_apply_vf.defvjp(_dirac_vf_fwd, _dirac_vf_bwd)
+
+
+@jax.custom_vjp
+def dirac_apply_fv(op: DiracOperator, f: jnp.ndarray) -> jnp.ndarray:
+    """``DiA @ f``: face features -> vertex features.
+
+    ``f [..., M, C]`` -> ``[..., N, C]``.  Parity: utils/utils_pt.py:213-215.
+    """
+    return _dirac_fv_raw(op.vf_face, op.q_vf, f)
+
+
+def _dirac_fv_raw(vf_face, q_vf, f):
+    fq = to_quaternion_layout(f)
+    if vf_face.ndim == 2:
+        out = _dirac_gather_apply(vf_face, q_vf, fq)
+    else:
+        out = jax.vmap(_dirac_gather_apply)(vf_face, q_vf, fq)
+    return from_quaternion_layout(out)
+
+
+def _dirac_fv_fwd(op, f):
+    return dirac_apply_fv(op, f), op
+
+
+def _dirac_fv_bwd(op, g):
+    # f_bar[i] = sum_c conj(q_vf at (F[i,c], slot)) (x) g[F[i,c]]
+    gq = to_quaternion_layout(g)
+    if op.faces.ndim == 2:
+        out = _dirac_gather_apply(op.faces, op.q_bwd_f, gq)
+    else:
+        out = jax.vmap(_dirac_gather_apply)(op.faces, op.q_bwd_f, gq)
+    op_bar = jax.tree_util.tree_map(jnp.zeros_like, op)
+    return (op_bar, from_quaternion_layout(out))
+
+
+dirac_apply_fv.defvjp(_dirac_fv_fwd, _dirac_fv_bwd)

@@ -7,10 +7,17 @@ This is the TPU answer to "test multi-chip without a real slice"
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The axon environment registers the TPU backend programmatically from
+# sitecustomize and sets jax_platforms="axon,cpu" — a config update (not just
+# the env var) is required to pin tests to the virtual CPU mesh.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
