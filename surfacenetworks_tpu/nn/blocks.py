@@ -1,0 +1,238 @@
+"""Residual message-passing blocks (Surface Networks op set).
+
+Every block keeps the reference signature shape ``block(op, mask, x)``
+(Dirac: ``block(dirac_op, v, f)``), reference ``src/utils/utils_pt.py:124-263``:
+
+* ``LapResNet2``      — x -> ELU -> [x ‖ L x] -> conv(2d->d,'pre') twice, + input.
+* ``AvgResNet2``      — neighborhood op replaced by the masked global average.
+* ``DirResNet2``      — vertex+face features coupled through the Dirac pair in
+  quaternion layout; face stream has no residual by default.
+* ``MlpResNet2``      — pointwise only (BN -> ELU -> Linear twice, + input).
+* ``IdResNet2``       — neighborhood op replaced by identity (ablation;
+  reference normal_predict/models.py:324-345).
+* ``WideLapResNet2`` / ``WideAvgResNet2`` — width-changing generalizations
+  with configurable inner layer count and the channel-truncating/doubling
+  residual (reference ``_LapResNet2``/``_AvgResNet2``,
+  normal_predict/models.py:418-477).
+
+The ``op`` argument is polymorphic (dispatch in ``apply_operator``):
+a batched ``EllOperator``, a dense ``[B, N, N]`` array (the reference's
+``--dense`` paths / DenseLapResNet2), or any callable ``x -> Lx``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from surfacenetworks_tpu.nn.layers import GraphBatchNorm, GraphConv1x1, global_average
+from surfacenetworks_tpu.sparse.ell import DiracOperator, EllOperator
+from surfacenetworks_tpu.sparse.ops import (
+    dense_bmm,
+    dirac_apply_fv,
+    dirac_apply_vf,
+    spmm,
+)
+
+
+def apply_operator(op: Any, x: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch ``L @ x`` over the supported operator representations."""
+    if isinstance(op, EllOperator):
+        return spmm(op, x)
+    if callable(op) and not isinstance(op, jnp.ndarray):
+        return op(x)
+    return dense_bmm(op, x)
+
+
+def apply_dirac_vf(op: Any, v: jnp.ndarray) -> jnp.ndarray:
+    """``Di @ v`` (vertices -> faces) for structured / ELL / dense operators."""
+    if isinstance(op, DiracOperator):
+        return dirac_apply_vf(op, v)
+    di, _ = op
+    *lead, n, c = v.shape
+    vq = v.reshape(*lead, n * 4, c // 4)
+    if isinstance(di, EllOperator):
+        out = spmm(di, vq)
+    else:
+        out = dense_bmm(di, vq)
+    m4 = out.shape[-2]
+    return out.reshape(*lead, m4 // 4, c)
+
+
+def apply_dirac_fv(op: Any, f: jnp.ndarray) -> jnp.ndarray:
+    """``DiA @ f`` (faces -> vertices)."""
+    if isinstance(op, DiracOperator):
+        return dirac_apply_fv(op, f)
+    _, dia = op
+    *lead, m, c = f.shape
+    fq = f.reshape(*lead, m * 4, c // 4)
+    if isinstance(dia, EllOperator):
+        out = spmm(dia, fq)
+    else:
+        out = dense_bmm(dia, fq)
+    n4 = out.shape[-2]
+    return out.reshape(*lead, n4 // 4, c)
+
+
+def _bn_mode(bnmode: str | None) -> str | None:
+    """Reference convention: bnmode '' -> 'pre'; None -> no norm; other strings
+    pass through (and unknown strings disable norm inside GraphConv1x1)."""
+    if bnmode is None:
+        return None
+    return bnmode + "pre"
+
+
+class LapResNet2(nn.Module):
+    """Two-step Laplacian residual block (utils_pt.py:151-180)."""
+
+    features: int
+    bnmode: str | None = ""
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        x = nn.elu(inputs)
+        x = jnp.concatenate([x, apply_operator(op, x)], axis=-1)
+        x = GraphConv1x1(2 * self.features, self.features, _bn_mode(self.bnmode), name="bn_fc0")(x)
+        x = nn.elu(x)
+        x = jnp.concatenate([x, apply_operator(op, x)], axis=-1)
+        x = GraphConv1x1(2 * self.features, self.features, _bn_mode(self.bnmode), name="bn_fc1")(x)
+        return x + inputs
+
+
+class AvgResNet2(nn.Module):
+    """Global-average residual block (utils_pt.py:222-243)."""
+
+    features: int
+    bnmode: str | None = ""
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        x = nn.elu(inputs)
+        avg = jnp.broadcast_to(global_average(x, mask), x.shape)
+        x = jnp.concatenate([x, avg], axis=-1)
+        x = GraphConv1x1(2 * self.features, self.features, _bn_mode(self.bnmode), name="bn_fc0")(x)
+        x = nn.elu(x)
+        avg = jnp.broadcast_to(global_average(x, mask), x.shape)
+        x = jnp.concatenate([x, avg], axis=-1)
+        x = GraphConv1x1(2 * self.features, self.features, _bn_mode(self.bnmode), name="bn_fc1")(x)
+        return x + inputs
+
+
+class IdResNet2(nn.Module):
+    """Identity-op ablation block (normal_predict/models.py:324-345)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        x = nn.elu(inputs)
+        x = jnp.concatenate([x, x], axis=-1)
+        x = GraphConv1x1(2 * self.features, self.features, "pre", name="bn_fc0")(x)
+        x = nn.elu(x)
+        x = jnp.concatenate([x, x], axis=-1)
+        x = GraphConv1x1(2 * self.features, self.features, "pre", name="bn_fc1")(x)
+        return x + inputs
+
+
+class MlpResNet2(nn.Module):
+    """Pointwise residual block (utils_pt.py:245-263)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        x = GraphBatchNorm(self.features, name="bn0")(inputs)
+        x = nn.elu(x)
+        x = GraphConv1x1(self.features, self.features, None, name="fc0")(x)
+        x = GraphBatchNorm(self.features, name="bn1")(x)
+        x = nn.elu(x)
+        x = GraphConv1x1(self.features, self.features, None, name="fc1")(x)
+        return x + inputs
+
+
+class DirResNet2(nn.Module):
+    """Dirac residual block over coupled vertex/face streams (utils_pt.py:182-220).
+
+    ``__call__(op, v, f) -> (v + v', f')``; channels must be divisible by 4
+    (quaternion layout).  ``res_f=True`` adds a face residual (reference flag,
+    default off).
+    """
+
+    features: int
+    res_f: bool = False
+
+    @nn.compact
+    def __call__(self, op, v, f):
+        x_in, f_in = nn.elu(v), nn.elu(f)
+        x = apply_dirac_vf(op, x_in)
+        x = jnp.concatenate([f_in, x], axis=-1)
+        x = GraphConv1x1(2 * self.features, self.features, "pre", name="bn_fc0")(x)
+        f_out = x
+
+        x = nn.elu(x)
+        x = apply_dirac_fv(op, x)
+        x = jnp.concatenate([x_in, x], axis=-1)
+        x = GraphConv1x1(2 * self.features, self.features, "pre", name="bn_fc1")(x)
+        v_out = x
+
+        if self.res_f:
+            f_out = f + f_out
+        return v + v_out, f_out
+
+
+class WideLapResNet2(nn.Module):
+    """Width-changing Laplacian block with ``inner_layers`` steps and a
+    truncating/doubling residual (normal_predict/models.py:447-477)."""
+
+    num_inputs: int
+    num_outputs: int | None = None
+    bnmode: str | None = ""
+    inner_layers: int = 2
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        num_outputs = self.num_outputs if self.num_outputs is not None else self.num_inputs
+        x = inputs
+        widths_in = [self.num_inputs] + [num_outputs] * (self.inner_layers - 1)
+        for i in range(self.inner_layers):
+            x = nn.elu(x)
+            x = jnp.concatenate([x, apply_operator(op, x)], axis=-1)
+            x = GraphConv1x1(
+                2 * widths_in[i], num_outputs, _bn_mode(self.bnmode), name=f"bn_fc{i}"
+            )(x)
+        if num_outputs <= inputs.shape[-1]:
+            return x + inputs[..., :num_outputs]
+        return x + jnp.concatenate([inputs] * 2, axis=-1)
+
+
+class WideAvgResNet2(nn.Module):
+    """Width-changing Avg block (normal_predict/models.py:418-444)."""
+
+    num_inputs: int
+    num_outputs: int | None = None
+    bnmode: str | None = ""
+    inner_layers: int = 2
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        num_outputs = self.num_outputs if self.num_outputs is not None else self.num_inputs
+        x = inputs
+        widths_in = [self.num_inputs] + [num_outputs] * (self.inner_layers - 1)
+        for i in range(self.inner_layers):
+            x = nn.elu(x)
+            avg = jnp.broadcast_to(global_average(x, mask), x.shape)
+            x = jnp.concatenate([x, avg], axis=-1)
+            x = GraphConv1x1(
+                2 * widths_in[i], num_outputs, _bn_mode(self.bnmode), name=f"bn_fc{i}"
+            )(x)
+        if num_outputs <= inputs.shape[-1]:
+            return x + inputs[..., :num_outputs]
+        return x + jnp.concatenate([inputs] * 2, axis=-1)
+
+
+# DenseLapResNet2 is LapResNet2 with a dense operator — apply_operator already
+# dispatches on the operator type, so one module covers both reference classes
+# (utils_pt.py:124-148 and :151-180).
+DenseLapResNet2 = LapResNet2
