@@ -1,0 +1,119 @@
+"""Benchmark: Laplacian SpMM edges/s per chip (FAUST-scale mesh).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
+
+* workload: cotan Laplacian of a ~7000-vertex closed mesh (the FAUST
+  full-resolution scale, dense_correspondence/main.py:193), feature width 128
+  (every Surface Networks model), applications chained in a fori_loop whose
+  trip count is a runtime argument (one compile, variable work).
+* timing: the remote TPU runtime is asynchronous and its block_until_ready
+  can return before execution completes, and host round-trips cost ~30 ms —
+  so each measurement fetches a scalar reduction and the metric uses the
+  *difference* between a long and a short chain to cancel latency.
+* vs_baseline: ratio against the dense-matmul (MXU) formulation of the same
+  operator on the same chip — the reference's verification harness compares
+  its sparse CUDA kernel against dense bmm the same way
+  (utils/cuda/sparse_bmm.py:77-94).
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_SHORT = 32
+N_LONG = 1056
+
+
+def _build_workload(n_points=7000, channels=128):
+    from surfacenetworks_tpu import geometry as geo
+    from surfacenetworks_tpu import sparse as sps
+    from surfacenetworks_tpu.data import datasets, round_up
+
+    rng = np.random.default_rng(0)
+    V, F = datasets.random_blob_mesh(rng, n_points)
+    L = geo.igl_style_laplacian(V, F, hack=1.0)
+    n_bucket = round_up(V.shape[0], 128)
+    op = sps.operator_from_scipy(L, n_rows=n_bucket, n_cols=n_bucket, k_multiple=8)
+    x = rng.normal(size=(n_bucket, channels)).astype(np.float32)
+    return op, L, x
+
+
+def _measure_pair(fn, args, iters=4):
+    """Best-of time at the short and long trip counts (scalar fetch forces
+    completion)."""
+    import jax.numpy as jnp
+
+    def timed(n):
+        best = float("inf")
+        float(fn(*args, jnp.asarray(n, jnp.int32)))  # warm this trip count
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(fn(*args, jnp.asarray(n, jnp.int32)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return timed(N_SHORT), timed(N_LONG)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from surfacenetworks_tpu import sparse as sps
+
+    op, L, x = _build_workload()
+    nnz = L.nnz
+
+    @jax.jit
+    def sparse_iter(op, x, n):
+        def body(_, y):
+            return sps.spmm(op, y) * 0.2 + x * 0.01
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+
+    dense_pad = np.zeros((x.shape[0], x.shape[0]), np.float32)
+    dense_pad[: L.shape[0], : L.shape[1]] = L.todense()
+
+    @jax.jit
+    def dense_iter(Ld, x, n):
+        def body(_, y):
+            return Ld @ y * 0.2 + x * 0.01
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+
+    xj = jnp.asarray(x)
+    t1s, t2s = _measure_pair(sparse_iter, (op, xj))
+    dj = jnp.asarray(dense_pad)
+    t1d, t2d = _measure_pair(dense_iter, (dj, xj))
+
+    n_apps = N_LONG - N_SHORT
+    per_apply_sparse = max(t2s - t1s, 1e-9) / n_apps
+    per_apply_dense = max(t2d - t1d, 1e-9) / n_apps
+    edges_per_s = nnz / per_apply_sparse
+    edges_per_s_dense = nnz / per_apply_dense
+
+    device = jax.devices()[0]
+    print(
+        json.dumps(
+            {
+                "metric": "lap_spmm_edges_per_s_per_chip",
+                "value": round(edges_per_s, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(edges_per_s / edges_per_s_dense, 3),
+                "details": {
+                    "n_vertices": int(L.shape[0]),
+                    "nnz": int(nnz),
+                    "channels": 128,
+                    "sparse_us_per_apply": round(per_apply_sparse * 1e6, 3),
+                    "dense_us_per_apply": round(per_apply_dense * 1e6, 3),
+                    "device": str(device),
+                    "impl": sps.get_default_implementation(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,263 @@
+"""Dataset pipelines: reference-format loaders + synthetic generators.
+
+The reference trains from downloaded artifacts (obj trees for normal
+prediction, ``data_plus/*.npy`` ARAP sequences, ``train_FAUST_npz`` archives,
+``mesh_mnist/data/*.np`` pickles).  Loaders here accept those same formats so
+reference users can bring their data unchanged; the synthetic generators
+produce statistically similar workloads from nothing (this environment has
+zero egress), used by tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import scipy.sparse as sp
+from scipy.spatial import ConvexHull, Delaunay
+
+from surfacenetworks_tpu import geometry as geo
+
+
+# ---------------------------------------------------------------------------
+# synthetic meshes
+# ---------------------------------------------------------------------------
+
+
+def random_blob_mesh(rng: np.random.Generator, n_points: int = 200) -> tuple[np.ndarray, np.ndarray]:
+    """Random smooth star-shaped closed mesh.
+
+    Points are sampled on the unit sphere, triangulated by their convex hull
+    (combinatorially valid for any radial displacement), then displaced by a
+    random low-order smooth radial field.
+    """
+    pts = rng.normal(size=(n_points, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    hull = ConvexHull(pts)
+    F = hull.simplices.astype(np.int32)
+    # orient all faces outward (hull simplices have arbitrary orientation)
+    c = pts[F].mean(axis=1)
+    n = np.cross(pts[F[:, 1]] - pts[F[:, 0]], pts[F[:, 2]] - pts[F[:, 0]])
+    flip = (n * c).sum(axis=1) < 0
+    F[flip] = F[flip][:, [0, 2, 1]]
+
+    a = rng.uniform(-0.25, 0.25, size=6)
+    x, y, z = pts.T
+    r = 1.0 + a[0] * np.sin(2 * x) + a[1] * np.cos(2 * y) + a[2] * np.sin(2 * z) + a[
+        3
+    ] * np.sin(3 * x * y) + a[4] * np.cos(3 * y * z) + a[5] * np.sin(3 * z * x)
+    V = pts * r[:, None]
+    return V, F
+
+
+def height_field_mesh(
+    rng: np.random.Generator, n_points: int = 150, n_blobs: int = 3
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Random triangulated height field (mesh-MNIST-like lifted mesh).
+
+    Returns (V, F, label) where the label is the blob count — a synthetic
+    stand-in for the digit class when MNIST is unavailable.
+    """
+    pts = rng.uniform(0, 1, size=(n_points, 2))
+    tri = Delaunay(pts)
+    z = np.zeros(n_points)
+    for _ in range(n_blobs):
+        cx, cy = rng.uniform(0.2, 0.8, size=2)
+        s = rng.uniform(0.05, 0.15)
+        z += rng.uniform(0.3, 1.0) * np.exp(-((pts[:, 0] - cx) ** 2 + (pts[:, 1] - cy) ** 2) / (2 * s**2))
+    V = np.concatenate([pts, z[:, None] / max(z.max(), 1e-6)], axis=1)
+    return V, np.asarray(tri.simplices, dtype=np.int32), n_blobs
+
+
+# ---------------------------------------------------------------------------
+# per-task synthetic datasets (lists of sample dicts, batching-ready)
+# ---------------------------------------------------------------------------
+
+
+def synthetic_normal_dataset(
+    num: int, n_points: int = 150, seed: int = 0, operator: str = "lap", hack: float = 1.0
+) -> list[dict]:
+    """normal_predict-style samples: input = V, target = vertex normals.
+
+    ``operator='lap'`` attaches the igl-convention hacked Laplacian exactly as
+    the reference sampler does on the fly (sampler.py:52-78); ``'dirac'``
+    attaches structured Dirac coefficients.
+    """
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(num):
+        V, F = random_blob_mesh(rng, n_points)
+        sample = {
+            "V": V.astype(np.float32),
+            "F": F,
+            "input": V.astype(np.float32),
+            "target": geo.vertex_normals(V, F).astype(np.float32),
+            "name": f"synthetic_{i}",
+        }
+        if operator == "lap":
+            sample["L"] = geo.igl_style_laplacian(V, F, hack=hack)
+        else:
+            sample["dirac"] = geo.dirac_coeffs(V, F)
+        out.append(sample)
+    return out
+
+
+def synthetic_mnist_dataset(num: int, seed: int = 0, n_points: int = 120) -> list[dict]:
+    """mesh-MNIST-style samples with both lifted and flat operators
+    (mesh_mnist/add_laplacian.py pipeline: L = A^{-1}(D - W) cotan, plus
+    Dirac, for the lifted mesh and its z=0 flattening)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(num):
+        label = int(rng.integers(0, 10))
+        V, F, _ = height_field_mesh(rng, n_points, n_blobs=max(label, 1))
+        V = V.astype(np.float32)
+        flat_V = V.copy()
+        flat_V[:, 2] = 0
+        sample = {
+            "V": V,
+            "F": F,
+            "label": label,
+            "L": geo.mesh_laplacian(V, F).astype(np.float32),
+            "flat_L": geo.mesh_laplacian(flat_V, F).astype(np.float32),
+            "dirac": geo.dirac_coeffs(V, F),
+            "flat_dirac": geo.dirac_coeffs(flat_V, F),
+            "flat_V": flat_V,
+            "name": f"mnistlike_{i}",
+        }
+        out.append(sample)
+    return out
+
+
+def synthetic_arap_sequences(
+    num_seq: int, n_frames: int = 50, n_points: int = 120, seed: int = 0
+) -> list[list[dict]]:
+    """ARAP-style temporal sequences: a blob mesh deformed by a smooth
+    travelling wave; per-frame V, operators on the first 10 frames
+    (as_rigid_as_possible/add_laplacian.py:39-75)."""
+    rng = np.random.default_rng(seed)
+    sequences = []
+    for s in range(num_seq):
+        V0, F = random_blob_mesh(rng, n_points)
+        omega = rng.uniform(0.15, 0.4)
+        phase = rng.uniform(0, 2 * np.pi, size=V0.shape[0])
+        dirvec = rng.normal(size=3)
+        dirvec /= np.linalg.norm(dirvec)
+        frames = []
+        for t in range(n_frames):
+            amp = 0.15 * np.sin(omega * t + phase)
+            V = V0 * (1.0 + amp[:, None]) + 0.05 * np.sin(omega * t) * dirvec
+            frame = {"V": V.astype(np.float32), "F": F}
+            if t < 10:
+                frame["L"] = geo.mesh_laplacian(V, F).astype(np.float32)
+                frame["dirac"] = geo.dirac_coeffs(V, F)
+            frames.append(frame)
+        sequences.append(frames)
+    return sequences
+
+
+def synthetic_correspondence_dataset(num: int, n_points: int = 200, seed: int = 0) -> list[dict]:
+    """FAUST-style samples: deformations of one base shape with known
+    correspondence labels and a geodesic-proxy distance matrix."""
+    rng = np.random.default_rng(seed)
+    base_V, F = random_blob_mesh(rng, n_points)
+    n = base_V.shape[0]
+    # geodesic proxy: euclidean distances on the base shape
+    G = np.linalg.norm(base_V[:, None, :] - base_V[None, :, :], axis=-1).astype(np.float32)
+    out = []
+    for i in range(num):
+        a = rng.uniform(-0.2, 0.2, size=3)
+        V = base_V * (1.0 + a[None, :] * np.sin(2 * base_V))
+        perm = rng.permutation(n)
+        inv = geo.invert_permutation(perm)
+        Vp = V[perm].astype(np.float32)  # scan vertex i <-> template id perm[i]
+        Fp = inv[F].astype(np.int32)
+        out.append(
+            {
+                "V": Vp,
+                "F": Fp,
+                "input": Vp,
+                "L": geo.igl_style_laplacian(Vp, Fp, hack=1.0),
+                "label": perm.astype(np.int64),  # scan vertex -> template id
+                "label_inv": inv.astype(np.int64),  # template id -> scan vertex
+                "G": G[perm][:, perm],
+                "name": f"faustlike_{i}",
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# reference-format loaders
+# ---------------------------------------------------------------------------
+
+
+def load_normal_sample(
+    obj_path: str,
+    operator: str = "lap",
+    hack: float = 1.0,
+    uniform_mesh: bool = False,
+) -> dict | None:
+    """Load one .obj as a normal-prediction sample (sampler.read_npz parity:
+    target = vertex normals; operator computed on the fly; NaN meshes
+    rejected by returning None)."""
+    V, F = geo.load_obj(obj_path)
+    if V.size == 0 or F.size == 0:
+        return None
+    target = geo.vertex_normals(V, F)
+    if not np.isfinite(target).all():
+        return None
+    if uniform_mesh:
+        V = geo.uniform_mesh_scale(V)
+    sample = {
+        "V": V.astype(np.float32),
+        "F": F.astype(np.int32),
+        "input": V.astype(np.float32),
+        "target": target.astype(np.float32),
+        "name": obj_path,
+    }
+    if operator == "lap":
+        L = geo.igl_style_laplacian(V, F, hack=hack)
+        if not np.isfinite(L.data).all():
+            return None
+        sample["L"] = L
+    else:
+        sample["dirac"] = geo.dirac_coeffs(V, F)
+    return sample
+
+
+def scan_obj_tree(data_path: str) -> list[str]:
+    """Recursive .obj listing (train_4_normal.py:175)."""
+    return sorted(glob.glob(os.path.join(data_path, "**/*.obj"), recursive=True))
+
+
+def load_faust_npz(path: str) -> dict:
+    """Load a FAUST .npz in the reference layout (dense_correspondence
+    main.py:65-104): V, F, L/D/DA scipy objects, label, label_inv, dist_mat."""
+    with np.load(path, allow_pickle=True) as seq:
+        out = {
+            "V": seq["V"].astype(np.float32),
+            "F": seq["F"].astype(np.int32),
+            "label": seq["label"].astype(np.int64),
+            "label_inv": seq["label_inv"].astype(np.int64),
+            "G": seq["dist_mat"].astype(np.float32),
+            "name": path,
+        }
+        if "L" in seq:
+            out["L"] = seq["L"].item().astype(np.float32).tocsr()
+        out["input"] = out["V"]
+    return out
+
+
+def load_arap_sequence(path: str) -> list[dict]:
+    """Load one ARAP .npy sequence in the reference layout
+    (as_rigid_as_possible/main.py:58-76)."""
+    seq = np.load(path, encoding="latin1", allow_pickle=True)
+    frames = []
+    for frame in seq:
+        f = {"V": np.asarray(frame["V"], np.float32), "F": np.asarray(frame["F"], np.int32)}
+        if "L" in frame and frame["L"] is not None:
+            f["L"] = frame["L"].astype(np.float32)
+        frames.append(f)
+    return frames

@@ -1,0 +1,23 @@
+"""Distribution: device meshes, data parallelism, edge-partitioned operators."""
+
+from surfacenetworks_tpu.dist.mesh_setup import (
+    batch_sharding,
+    initialize_multihost,
+    make_mesh,
+    replicated,
+)
+from surfacenetworks_tpu.dist.data_parallel import (
+    make_dp_train_step,
+    replicate,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding",
+    "initialize_multihost",
+    "make_dp_train_step",
+    "make_mesh",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

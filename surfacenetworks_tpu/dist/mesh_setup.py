@@ -1,0 +1,46 @@
+"""Device mesh construction and multi-host initialization.
+
+The reference has no distributed runtime at all (SURVEY.md §2.9) — this layer
+is the TPU-native scale-out design: a named ``jax.sharding.Mesh`` whose axes
+carry data parallelism over meshes ('data') and vertex/edge partitioning
+within a mesh ('graph'); XLA inserts the collectives (psum for gradient
+reduction over ICI, all-to-all/ppermute for halo exchange).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_graph: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a ('data', 'graph') mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_graph
+    assert n_data * n_graph <= len(devices), (n_data, n_graph, len(devices))
+    grid = np.asarray(devices[: n_data * n_graph]).reshape(n_data, n_graph)
+    return Mesh(grid, axis_names=("data", "graph"))
+
+
+def initialize_multihost(coordinator_address: str | None = None, **kwargs) -> None:
+    """jax.distributed bootstrap for multi-host slices (DCN across hosts,
+    ICI within a slice).  No-op when already initialized or single-host."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch-of-meshes) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,168 @@
+"""Normal-prediction model zoo (reference ``src/normal_predict/models.py``).
+
+All models map ``(operator, mask, inputs [B,N,Cin]) -> [B,N,Cout]`` on padded
+dense tensors.  The alternating even-Lap / odd-Avg block pattern and the
+input-residual heads are reference behaviours (models.py:53-57, :77).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from surfacenetworks_tpu.nn.blocks import (
+    AvgResNet2,
+    DirResNet2,
+    IdResNet2,
+    MlpResNet2,
+    WideAvgResNet2,
+    WideLapResNet2,
+)
+from surfacenetworks_tpu.nn.layers import GraphConv1x1, repeating_expand
+
+WIDTH = 128
+
+
+def _conv2_bn(bnmode: str | None) -> str | None:
+    return None if bnmode is None else bnmode + "pre"
+
+
+class LapDeepModel(nn.Module):
+    """Deep Laplacian network (normal_predict/models.py:39-83).
+
+    Alternates width-changing Lap blocks (even layers) with Avg blocks (odd),
+    optional bottleneck width schedule, ELU + 1x1 head, and the
+    repeating-expand input residual.
+    """
+
+    in_features: int
+    out_features: int
+    layers: int = 15
+    bnmode: str | None = ""
+    only_lap: bool = False
+    bottleneck: bool = False
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        if self.bottleneck:
+            assert self.layers == 16
+            widths = [128, 128, 64, 64, 32, 32, 16, 16, 16, 16, 32, 32, 64, 64, 128, 128, 128]
+        else:
+            widths = [WIDTH] * (self.layers + 1)
+        x = GraphConv1x1(self.in_features, WIDTH, "", name="conv1")(inputs)
+        for i in range(self.layers):
+            if i % 2 == 0 or self.only_lap:
+                x = WideLapResNet2(widths[i], widths[i + 1], self.bnmode, name=f"rn{i}")(
+                    op, mask, x
+                )
+            else:
+                x = WideAvgResNet2(widths[i], widths[i + 1], self.bnmode, name=f"rn{i}")(
+                    op, mask, x
+                )
+        x = nn.elu(x)
+        x = GraphConv1x1(WIDTH, self.out_features, _conv2_bn(self.bnmode), name="conv2")(x)
+        return x + repeating_expand(inputs, x.shape[-1])
+
+
+class DirDeepModel(nn.Module):
+    """Deep Dirac network (normal_predict/models.py:234-280): even layers are
+    Dirac blocks over coupled vertex/face streams (faces zero-initialized),
+    odd layers Avg blocks; head = conv2('pre') then ELU, no input residual."""
+
+    in_features: int
+    out_features: int
+    layers: int = 15
+    num_faces: int | None = None  # inferred from the operator if None
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        batch = inputs.shape[0]
+        if self.num_faces is not None:
+            m = self.num_faces
+        else:
+            # structured DiracOperator carries faces [B, M, 3]
+            m = op.faces.shape[-2]
+        v = GraphConv1x1(self.in_features, WIDTH, None, name="conv1")(inputs)
+        f = jnp.zeros((batch, m, WIDTH), dtype=v.dtype)
+        for i in range(self.layers):
+            if i % 2 == 0:
+                v, f = DirResNet2(WIDTH, name=f"rn{i}")(op, v, f)
+            else:
+                v = AvgResNet2(WIDTH, name=f"rn{i}")(None, mask, v)
+        x = GraphConv1x1(WIDTH, self.out_features, "pre", name="conv2")(v)
+        return nn.elu(x)
+
+
+class DirModelToFace(nn.Module):
+    """Dirac network with face-stream output (normal_predict/models.py:282-322)."""
+
+    in_features: int
+    out_features: int
+    layers: int = 16
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        batch = inputs.shape[0]
+        m = op.faces.shape[-2]
+        v = GraphConv1x1(self.in_features, WIDTH, None, name="conv1")(inputs)
+        f = jnp.zeros((batch, m, WIDTH), dtype=v.dtype)
+        for i in range(self.layers):
+            if i % 2 == 0:
+                v, f = DirResNet2(WIDTH, name=f"rn{i}")(op, v, f)
+            else:
+                v = AvgResNet2(WIDTH, name=f"rn{i}")(None, mask, v)
+        x = nn.elu(f)
+        return GraphConv1x1(WIDTH, self.out_features, "pre", name="conv2")(x)
+
+
+class AvgModel(nn.Module):
+    """Graph-agnostic ablation (normal_predict/models.py:127-157)."""
+
+    in_features: int
+    out_features: int
+    layers: int = 15
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        x = GraphConv1x1(self.in_features, WIDTH, None, name="conv1")(inputs)
+        for i in range(self.layers):
+            x = AvgResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+        x = nn.elu(x)
+        x = GraphConv1x1(WIDTH, self.out_features, "pre", name="conv2")(x)
+        return x + inputs
+
+
+class MlpModel(nn.Module):
+    """Pointwise-only ablation (normal_predict/models.py:160-192)."""
+
+    in_features: int
+    out_features: int
+    layers: int = 15
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        from surfacenetworks_tpu.nn.layers import GraphBatchNorm
+
+        x = GraphConv1x1(self.in_features, WIDTH, None, name="conv1")(inputs)
+        for i in range(self.layers):
+            x = MlpResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+        x = GraphBatchNorm(WIDTH, name="bn")(x)
+        x = nn.elu(x)
+        x = GraphConv1x1(WIDTH, self.out_features, None, name="conv2")(x)
+        return x + inputs
+
+
+class IdDeepModel(nn.Module):
+    """Identity-op ablation (normal_predict/models.py:349-378)."""
+
+    in_features: int
+    out_features: int
+    layers: int = 15
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        x = GraphConv1x1(self.in_features, WIDTH, None, name="conv1")(inputs)
+        for i in range(self.layers):
+            x = IdResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+        x = GraphConv1x1(WIDTH, self.out_features, "pre", name="conv2")(x)
+        return nn.elu(x)
