@@ -34,6 +34,8 @@ class Buckets:
     ell_k: int = 16  # Laplacian row slots
     ell_k_t: int = 16  # transpose row slots
     max_valence: int = 16  # Dirac vertex-face incidence slots
+    bsr_block: int = 128  # BSR block size (MXU tile)
+    bsr_k: int = 8  # BSR blocks per block-row
 
     @classmethod
     def for_samples(cls, samples, multiple: int = 8) -> "Buckets":
@@ -62,11 +64,39 @@ def pad_rows(a: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def rcm_reorder_sample(sample: dict) -> dict:
+    """Reorder a sample's vertices by reverse-Cuthill-McKee on its Laplacian.
+
+    Makes the operator banded so the BSR/MXU path covers it with few blocks.
+    Vertex order is arbitrary in all Surface Networks workloads; faces are
+    reindexed, and any per-vertex arrays (input/target/V/label arrays sized
+    [n, ...]) are permuted consistently.
+    """
+    from surfacenetworks_tpu.sparse import rcm_permutation
+
+    perm = rcm_permutation(sample["L"])
+    inv = geo.invert_permutation(perm)
+    n = sample["V"].shape[0]
+    out = dict(sample)
+    for key, val in sample.items():
+        if key == "F":
+            out[key] = inv[val].astype(np.int32)
+        elif key == "L":
+            out[key] = val.tocsr()[perm][:, perm].tocsr()
+        elif key == "G":
+            out[key] = val[perm][:, perm]
+        elif isinstance(val, np.ndarray) and val.ndim >= 1 and val.shape[0] == n:
+            out[key] = val[perm]
+    out["rcm_perm"] = perm
+    return out
+
+
 def laplacian_batch(
     samples: list[dict],
     buckets: Buckets,
     input_key: str = "input",
     target_key: str = "target",
+    fmt: str = "ell",
 ) -> MeshBatch:
     """Assemble a Laplacian-operator batch from per-mesh sample dicts.
 
@@ -82,8 +112,31 @@ def laplacian_batch(
     mask = np.zeros((B, N, 1), dtype=np.float32)
     for b, s in enumerate(samples):
         mask[b, : s["V"].shape[0]] = 1.0
-    ops = [_fixed_k_operator(s["L"], buckets, N) for s in samples]
-    operator = stack_operators(ops)
+    if fmt == "ell":
+        operator = stack_operators([_fixed_k_operator(s["L"], buckets, N) for s in samples])
+    elif fmt == "bsr":
+        from surfacenetworks_tpu.sparse import bsr_operator_from_scipy, stack_bsr_operators
+
+        operator = stack_bsr_operators(
+            [
+                bsr_operator_from_scipy(
+                    s["L"],
+                    block_size=buckets.bsr_block,
+                    k=buckets.bsr_k,
+                    n_rows=N,
+                    n_cols=N,
+                )
+                for s in samples
+            ]
+        )
+    elif fmt == "dense":
+        dense = np.zeros((B, N, N), dtype=np.float32)
+        for b, s in enumerate(samples):
+            Ld = np.asarray(s["L"].todense(), dtype=np.float32)
+            dense[b, : Ld.shape[0], : Ld.shape[1]] = Ld
+        operator = dense
+    else:
+        raise ValueError(f"unknown operator format {fmt!r}")
     faces = _pad_faces(samples, buckets)
     return MeshBatch(
         inputs=inputs,

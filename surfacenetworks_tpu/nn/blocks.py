@@ -28,6 +28,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from surfacenetworks_tpu.nn.layers import GraphBatchNorm, GraphConv1x1, global_average
+from surfacenetworks_tpu.sparse.bsr import BsrOperator, bsr_spmm
 from surfacenetworks_tpu.sparse.ell import DiracOperator, EllOperator
 from surfacenetworks_tpu.sparse.ops import (
     dense_bmm,
@@ -41,6 +42,8 @@ def apply_operator(op: Any, x: jnp.ndarray) -> jnp.ndarray:
     """Dispatch ``L @ x`` over the supported operator representations."""
     if isinstance(op, EllOperator):
         return spmm(op, x)
+    if isinstance(op, BsrOperator):
+        return bsr_spmm(op, x)
     if callable(op) and not isinstance(op, jnp.ndarray):
         return op(x)
     return dense_bmm(op, x)

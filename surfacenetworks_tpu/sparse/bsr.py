@@ -1,0 +1,183 @@
+"""Block-sparse (BSR / block-ELL) operators — the MXU-native SpMM path.
+
+TPUs are excellent at dense 128x128 matmuls and poor at fine-grained row
+gather.  Mesh Laplacians become *banded* under a reverse-Cuthill-McKee
+vertex reordering (bandwidth ~ O(sqrt(N)); measured 242 for a 7000-vertex
+closed mesh), so after reordering the operator is covered by a few hundred
+128x128 blocks near the diagonal (~1-2% of the dense matrix).  SpMM then
+becomes a short batched-matmul over gathered x-blocks — gather rows are
+whole blocks (64 KB), which the TPU memory system handles efficiently, and
+all FLOPs land on the MXU.
+
+This replaces nothing in the reference (its CUDA kernel is a scalar-CSR
+gather design, utils/cuda/sparse_bmm.cu) — it is the TPU-first redesign of
+the same contract: ``out = L @ x`` with a stored-transpose backward.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from flax import struct
+
+from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+
+@struct.dataclass
+class BsrMatrix:
+    """Padded block-ELL matrix of logical shape (n_rows, n_cols).
+
+    ``block_cols[i, k]``: block-column index of the k-th nonzero block in
+    block-row i (0-padded); ``block_vals[i, k]``: the (bs x bs) dense block
+    (zero for padding slots).  Leading batch axes allowed.
+    """
+
+    block_cols: Any  # int32 [..., NB, KB]
+    block_vals: Any  # float [..., NB, KB, bs, bs]
+    n_cols: int = struct.field(pytree_node=False)
+
+    @property
+    def block_size(self) -> int:
+        return self.block_vals.shape[-1]
+
+    @property
+    def n_rows(self) -> int:
+        return self.block_cols.shape[-2] * self.block_size
+
+
+@struct.dataclass
+class BsrOperator:
+    fwd: BsrMatrix
+    bwd: BsrMatrix
+
+
+def rcm_permutation(M: sp.spmatrix) -> np.ndarray:
+    """Reverse-Cuthill-McKee ordering of a (structurally symmetric) operator."""
+    return np.asarray(reverse_cuthill_mckee(M.tocsr(), symmetric_mode=True))
+
+
+def bsr_from_scipy(
+    M: sp.spmatrix,
+    block_size: int = 128,
+    k: int | None = None,
+    n_rows: int | None = None,
+    n_cols: int | None = None,
+    dtype=np.float32,
+) -> BsrMatrix:
+    """Pack a scipy sparse matrix into padded block-ELL."""
+    bs = block_size
+    R = n_rows if n_rows is not None else M.shape[0]
+    C = n_cols if n_cols is not None else M.shape[1]
+    R = (R + bs - 1) // bs * bs
+    C = (C + bs - 1) // bs * bs
+    Mp = sp.csr_matrix(M.astype(dtype))
+    Mp.resize((R, C))
+    bsr = Mp.tobsr((bs, bs))
+    NB = R // bs
+    deg = np.diff(bsr.indptr)
+    kmax = int(deg.max()) if deg.size else 0
+    if k is None:
+        k = max(kmax, 1)
+    elif kmax > k:
+        raise ValueError(f"BSR k={k} smaller than max block-row degree {kmax}")
+    block_cols = np.zeros((NB, k), dtype=np.int32)
+    block_vals = np.zeros((NB, k, bs, bs), dtype=dtype)
+    nnzb = bsr.indptr[-1]
+    row_of = np.repeat(np.arange(NB), deg)
+    slot = np.arange(nnzb) - np.repeat(bsr.indptr[:-1], deg)
+    block_cols[row_of, slot] = bsr.indices
+    block_vals[row_of, slot] = bsr.data
+    return BsrMatrix(block_cols=block_cols, block_vals=block_vals, n_cols=C)
+
+
+def bsr_operator_from_scipy(
+    M: sp.spmatrix,
+    block_size: int = 128,
+    k: int | None = None,
+    n_rows: int | None = None,
+    n_cols: int | None = None,
+    dtype=np.float32,
+    k_bwd: int | None = None,
+) -> BsrOperator:
+    fwd = bsr_from_scipy(M, block_size, k, n_rows, n_cols, dtype)
+    bwd = bsr_from_scipy(M.T.tocsr(), block_size, k_bwd if k_bwd is not None else k,
+                         n_cols, n_rows, dtype)
+    return BsrOperator(fwd=fwd, bwd=bwd)
+
+
+def stack_bsr_operators(ops: list[BsrOperator]) -> BsrOperator:
+    return BsrOperator(
+        fwd=BsrMatrix(
+            block_cols=np.stack([o.fwd.block_cols for o in ops]),
+            block_vals=np.stack([o.fwd.block_vals for o in ops]),
+            n_cols=ops[0].fwd.n_cols,
+        ),
+        bwd=BsrMatrix(
+            block_cols=np.stack([o.bwd.block_cols for o in ops]),
+            block_vals=np.stack([o.bwd.block_vals for o in ops]),
+            n_cols=ops[0].bwd.n_cols,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# device-side apply
+# ---------------------------------------------------------------------------
+
+
+def _bsr_matmul_xla(block_cols, block_vals, x):
+    """[NB,KB] x [NB,KB,bs,bs] x [N,C] -> [R,C] via gathered batched matmul."""
+    bs = block_vals.shape[-1]
+    n, c = x.shape
+    xb = x.reshape(n // bs, bs, c)
+    gathered = jnp.take(xb, block_cols, axis=0)  # [NB, KB, bs, C]
+    out = jnp.einsum(
+        "nkij,nkjc->nic",
+        block_vals,
+        gathered.astype(block_vals.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(-1, c).astype(x.dtype)
+
+
+def _bsr_matmul(m: BsrMatrix, x):
+    impl = None
+    from surfacenetworks_tpu.sparse import ops as _ops
+
+    impl = _ops.get_default_implementation()
+    if impl == "pallas":
+        from surfacenetworks_tpu.sparse import pallas_kernels
+
+        return pallas_kernels.bsr_matmul(m.block_cols, m.block_vals, x)
+    return _bsr_matmul_xla(m.block_cols, m.block_vals, x)
+
+
+def _bsr_fwd_only(m: BsrMatrix, x):
+    if m.block_cols.ndim == 2:
+        return _bsr_matmul(m, x)
+    assert m.block_cols.ndim == 3 and x.ndim == 3
+    return jax.vmap(lambda bc, bv, xx: _bsr_matmul(BsrMatrix(bc, bv, m.n_cols), xx))(
+        m.block_cols, m.block_vals, x
+    )
+
+
+@jax.custom_vjp
+def bsr_spmm(op: BsrOperator, x: jnp.ndarray) -> jnp.ndarray:
+    """``op.fwd @ x`` with stored-transpose backward; batched like spmm."""
+    return _bsr_fwd_only(op.fwd, x)
+
+
+def _bsr_vjp_fwd(op, x):
+    return bsr_spmm(op, x), op
+
+
+def _bsr_vjp_bwd(op, g):
+    x_bar = _bsr_fwd_only(op.bwd, g)
+    return (jax.tree_util.tree_map(jnp.zeros_like, op), x_bar)
+
+
+bsr_spmm.defvjp(_bsr_vjp_fwd, _bsr_vjp_bwd)
