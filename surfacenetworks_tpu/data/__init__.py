@@ -3,19 +3,29 @@
 from surfacenetworks_tpu.data.batching import (
     Buckets,
     MeshBatch,
+    arap_batch,
+    correspondence_batch,
     dirac_batch,
     laplacian_batch,
+    mnist_batch,
     pad_rows,
+    rcm_reorder_sample,
     round_up,
+    vae_batch,
 )
 from surfacenetworks_tpu.data import datasets
 
 __all__ = [
     "Buckets",
     "MeshBatch",
+    "arap_batch",
+    "correspondence_batch",
     "datasets",
     "dirac_batch",
     "laplacian_batch",
+    "mnist_batch",
     "pad_rows",
+    "rcm_reorder_sample",
     "round_up",
+    "vae_batch",
 ]

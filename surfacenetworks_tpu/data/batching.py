@@ -168,6 +168,159 @@ def _pad_faces(samples, buckets):
     return faces
 
 
+def mnist_batch(
+    samples: list[dict],
+    buckets: Buckets,
+    model: str = "lap",
+) -> MeshBatch:
+    """Classification batch: inputs = lifted V, targets = int labels
+    (mesh_mnist/main.py:79-117)."""
+    B = len(samples)
+    N = buckets.n_vertices
+    inputs = np.stack([pad_rows(np.asarray(s["V"], np.float32), N) for s in samples])
+    targets = np.asarray([s["label"] for s in samples], dtype=np.int32)
+    mask = np.zeros((B, N, 1), dtype=np.float32)
+    for b, s in enumerate(samples):
+        mask[b, : s["V"].shape[0]] = 1.0
+    if model == "dirac":
+        ops = [
+            dirac_from_coeffs(
+                s["dirac"], n_vertices=N, n_faces=buckets.n_faces,
+                max_valence=buckets.max_valence,
+            )
+            for s in samples
+        ]
+        operator = stack_dirac(ops)
+    else:
+        operator = stack_operators([_fixed_k_operator(s["L"], buckets, N) for s in samples])
+    return MeshBatch(
+        inputs=inputs, targets=targets, mask=mask, operator=operator,
+        faces=_pad_faces(samples, buckets), names=[s.get("name") for s in samples],
+    )
+
+
+def vae_batch(
+    samples: list[dict],
+    buckets: Buckets,
+    model: str = "lap",
+) -> MeshBatch:
+    """VAE batch: lifted + flat inputs and operators (mesh_mnist/main_vae.py:72-125).
+
+    ``inputs`` is the lifted V; ``aux`` carries ``flat_inputs`` (x, y, 0) and
+    ``flat_operator``.
+    """
+    B = len(samples)
+    N = buckets.n_vertices
+    inputs = np.stack([pad_rows(np.asarray(s["V"], np.float32), N) for s in samples])
+    flat_inputs = inputs.copy()
+    flat_inputs[:, :, 2] = 0.0
+    mask = np.zeros((B, N, 1), dtype=np.float32)
+    for b, s in enumerate(samples):
+        mask[b, : s["V"].shape[0]] = 1.0
+    if model == "dirac":
+        operator = stack_dirac(
+            [
+                dirac_from_coeffs(s["dirac"], N, buckets.n_faces, buckets.max_valence)
+                for s in samples
+            ]
+        )
+        flat_operator = stack_dirac(
+            [
+                dirac_from_coeffs(s["flat_dirac"], N, buckets.n_faces, buckets.max_valence)
+                for s in samples
+            ]
+        )
+    else:
+        operator = stack_operators([_fixed_k_operator(s["L"], buckets, N) for s in samples])
+        flat_operator = stack_operators(
+            [_fixed_k_operator(s["flat_L"], buckets, N) for s in samples]
+        )
+    return MeshBatch(
+        inputs=inputs, targets=inputs, mask=mask, operator=operator,
+        faces=_pad_faces(samples, buckets), names=[s.get("name") for s in samples],
+        aux={"flat_inputs": flat_inputs, "flat_operator": flat_operator},
+    )
+
+
+def arap_batch(
+    sequences: list[list[dict]],
+    picks: list[tuple[int, int]],
+    buckets: Buckets,
+    model: str = "lap",
+    fmt: str = "ell",
+    input_frames: int = 2,
+    output_frames: int = 40,
+) -> MeshBatch:
+    """Temporal batch: ``picks`` = (sequence index, frame offset) per batch
+    element; inputs = 2 frames, targets = next 40, operator from the last
+    input frame (as_rigid_as_possible/main.py:98-185)."""
+    B = len(picks)
+    N = buckets.n_vertices
+    inputs = np.zeros((B, N, 3 * input_frames), dtype=np.float32)
+    targets = np.zeros((B, N, 3 * output_frames), dtype=np.float32)
+    mask = np.zeros((B, N, 1), dtype=np.float32)
+    op_samples = []
+    faces_list = []
+    for b, (ind, off) in enumerate(picks):
+        seq = sequences[ind]
+        n = seq[0]["V"].shape[0]
+        for i in range(input_frames):
+            inputs[b, :n, 3 * i : 3 * (i + 1)] = seq[off + i]["V"]
+        for i in range(output_frames):
+            targets[b, :n, 3 * i : 3 * (i + 1)] = seq[off + input_frames + i]["V"]
+        mask[b, :n] = 1.0
+        op_frame = seq[off + input_frames - 1]
+        op_samples.append(op_frame)
+        faces_list.append({"F": seq[0]["F"], "V": seq[0]["V"]})
+    if model == "dirac":
+        operator = stack_dirac(
+            [
+                dirac_from_coeffs(
+                    s.get("dirac") or geo.dirac_coeffs(s["V"], s["F"]),
+                    N, buckets.n_faces, buckets.max_valence,
+                )
+                for s in op_samples
+            ]
+        )
+    elif fmt == "dense":
+        operator = np.zeros((B, N, N), dtype=np.float32)
+        for b, s in enumerate(op_samples):
+            Ld = np.asarray(s["L"].todense(), dtype=np.float32)
+            operator[b, : Ld.shape[0], : Ld.shape[1]] = Ld
+    else:
+        operator = stack_operators([_fixed_k_operator(s["L"], buckets, N) for s in op_samples])
+    return MeshBatch(
+        inputs=inputs, targets=targets, mask=mask, operator=operator,
+        faces=_pad_faces(faces_list, buckets),
+    )
+
+
+def correspondence_batch(sample: dict, buckets: Buckets, model: str = "lap") -> MeshBatch:
+    """Single-shape batch (B=1) for the siamese trainer
+    (dense_correspondence/main.py:106-191); targets = (G, label, label_inv)."""
+    N = buckets.n_vertices
+    n = sample["V"].shape[0]
+    inputs = pad_rows(np.asarray(sample["input"], np.float32), N)[None]
+    mask = np.zeros((1, N, 1), dtype=np.float32)
+    mask[0, :n] = 1.0
+    if model == "dirac":
+        coeffs = sample.get("dirac")
+        if coeffs is None:
+            coeffs = geo.dirac_coeffs(sample["V"], sample["F"])
+        operator = stack_dirac(
+            [dirac_from_coeffs(coeffs, N, buckets.n_faces, buckets.max_valence)]
+        )
+    else:
+        operator = stack_operators([_fixed_k_operator(sample["L"], buckets, N)])
+    return MeshBatch(
+        inputs=inputs,
+        targets=(sample["G"], sample["label"], sample["label_inv"]),
+        mask=mask,
+        operator=operator,
+        names=[sample.get("name")],
+    )
+
+
 def dirac_batch(
     samples: list[dict],
     buckets: Buckets,

@@ -1,0 +1,135 @@
+"""FAUST dense-correspondence models (reference ``src/dense_correspondence/models.py``).
+
+A shared trunk embeds each shape to 120-d per-vertex features; the siamese
+head forms correspondence logits ``FA @ FB^T [B, NA, NB]`` (models.py:199-203)
+— a single large MXU matmul on TPU.  ``AmplifyModel`` consumes a
+squared-Laplacian pyramid, indexing ``L_sequence[i//2]`` per Lap layer
+(models.py:68-77).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from surfacenetworks_tpu.nn.blocks import AvgResNet2, DirResNet2, LapResNet2, MlpResNet2
+from surfacenetworks_tpu.nn.layers import GraphBatchNorm, GraphConv1x1
+
+WIDTH = 128
+OUT = 120
+
+
+def _head(x, inputs):
+    return x + jnp.tile(inputs[..., -3:], (1, 1, OUT // 3))
+
+
+class Model(nn.Module):
+    """Lap trunk (models.py:21-49)."""
+
+    layers: int = 15
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        x = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
+        for i in range(self.layers):
+            if i % 2 == 0:
+                x = LapResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+            else:
+                x = AvgResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+        x = nn.elu(x)
+        x = GraphConv1x1(WIDTH, OUT, "pre", name="conv2")(x)
+        return _head(x, inputs)
+
+
+class AmplifyModel(nn.Module):
+    """Squared-Laplacian pyramid trunk (models.py:51-82): even layer i uses
+    pyramid operator ``ops[i//2]`` (last one repeated past the end)."""
+
+    layers: int = 15
+
+    @nn.compact
+    def __call__(self, ops, mask, inputs):
+        x = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
+        for i in range(self.layers):
+            op = ops[min(i // 2, len(ops) - 1)]
+            if i % 2 == 0:
+                x = LapResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+            else:
+                x = AvgResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+        x = nn.elu(x)
+        x = GraphConv1x1(WIDTH, OUT, "pre", name="conv2")(x)
+        return _head(x, inputs)
+
+
+class AvgModel(nn.Module):
+    layers: int = 15
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        x = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
+        for i in range(self.layers):
+            x = AvgResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+        x = nn.elu(x)
+        x = GraphConv1x1(WIDTH, OUT, "pre", name="conv2")(x)
+        return _head(x, inputs)
+
+
+class MlpModel(nn.Module):
+    layers: int = 15
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        x = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
+        for i in range(self.layers):
+            x = MlpResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+        x = GraphBatchNorm(WIDTH, name="bn")(x)
+        x = nn.elu(x)
+        x = GraphConv1x1(WIDTH, OUT, None, name="conv2")(x)
+        return _head(x, inputs)
+
+
+class DirModel(nn.Module):
+    layers: int = 15
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        batch = inputs.shape[0]
+        m = op.faces.shape[-2]
+        v = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
+        f = jnp.zeros((batch, m, WIDTH), dtype=v.dtype)
+        for i in range(self.layers):
+            if i % 2 == 0:
+                v, f = DirResNet2(WIDTH, name=f"rn{i}")(op, v, f)
+            else:
+                v = AvgResNet2(WIDTH, name=f"rn{i}")(None, mask, v)
+        x = nn.elu(v)
+        x = GraphConv1x1(WIDTH, OUT, "pre", name="conv2")(x)
+        return _head(x, inputs)
+
+
+TRUNKS = {
+    "lap": Model,
+    "amp": AmplifyModel,
+    "avg": AvgModel,
+    "mlp": MlpModel,
+    "dir": DirModel,
+}
+
+
+class SiameseModel(nn.Module):
+    """Shared trunk over both shapes; logits = FA @ FB^T (models.py:184-203)."""
+
+    model: str = "lap"
+    layers: int = 15
+
+    def setup(self):
+        for key, cls in TRUNKS.items():
+            if key in self.model:
+                self.trunk = cls(self.layers)
+                return
+        raise ValueError(f"unknown trunk {self.model!r}")
+
+    def __call__(self, operation_a, operation_b, input_a, input_b):
+        fa = self.trunk(*operation_a, input_a)
+        fb = self.trunk(*operation_b, input_b)
+        return jnp.einsum("bnc,bmc->bnm", fa, fb, preferred_element_type=jnp.float32)

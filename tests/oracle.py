@@ -1,5 +1,8 @@
 """Shared helpers for parity tests against the reference torch oracle."""
 
+import importlib.util
+import sys
+
 import numpy as np
 
 try:
@@ -8,6 +11,25 @@ except Exception:  # pragma: no cover
     torch = None
 
 import jax.numpy as jnp
+
+
+def load_reference_module(task: str, module: str):
+    """Import a reference task module under a unique name (several task dirs
+    all contain a 'models.py'; plain import would hit the sys.modules cache)."""
+    path = f"/root/reference/src/{task}/{module}.py"
+    qualname = f"ref_{task}_{module}"
+    if qualname in sys.modules:
+        return sys.modules[qualname]
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    task_dir = f"/root/reference/src/{task}"
+    if task_dir not in sys.path:
+        sys.path.insert(0, task_dir)
+    spec = importlib.util.spec_from_file_location(qualname, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[qualname] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def to_torch_sparse(coo):

@@ -1,0 +1,306 @@
+"""Remaining workloads: VAE, mesh-MNIST classification, ARAP, FAUST siamese.
+
+Each gets (a) parity vs the reference oracle where deterministically
+comparable, and (b) an end-to-end "loss decreases" training run on synthetic
+data.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from surfacenetworks_tpu import models as zoo
+from surfacenetworks_tpu.data import (
+    Buckets,
+    arap_batch,
+    correspondence_batch,
+    datasets,
+    mnist_batch,
+    vae_batch,
+)
+from surfacenetworks_tpu.train import TrainState, losses, optim
+
+sys.path.insert(0, "/root/reference/src")
+
+
+# ---------------------------------------------------------------------------
+# VAE
+# ---------------------------------------------------------------------------
+
+
+def _vae_data(n=2, points=50, seed=0):
+    samples = datasets.synthetic_mnist_dataset(n, seed=seed, n_points=points)
+    buckets = Buckets.for_samples(samples)
+    return vae_batch(samples, buckets, model="lap"), samples, buckets
+
+
+def test_vae_encoder_decoder_parity():
+    torch = pytest.importorskip("torch")
+    import oracle
+    import scipy.sparse as sp
+
+    ref_vae = oracle.load_reference_module("mesh_mnist", "models_vae")
+
+    batch, samples, buckets = _vae_data()
+    N = buckets.n_vertices
+    mats = []
+    for s in samples:
+        L = sp.csr_matrix(s["L"])
+        L.resize((N, N))
+        mats.append(L)
+    torch_L = oracle.to_torch_sparse(sp.block_diag(mats).tocoo())
+
+    tm = ref_vae.LapEncoder().train()
+    t_mu, t_logvar = tm(
+        torch.from_numpy(batch.inputs), torch_L, torch.from_numpy(batch.mask)
+    )
+
+    jm = zoo.vae.LapEncoder()
+    params = {"conv1": oracle.copy_graphconv(tm.conv1),
+              "bn_conv2": oracle.copy_graphconv(tm.bn_conv2),
+              "fc_mu": {"kernel": jnp.asarray(tm.fc_mu.weight.detach().numpy().T),
+                        "bias": jnp.asarray(tm.fc_mu.bias.detach().numpy())},
+              "fc_logvar": {"kernel": jnp.asarray(tm.fc_logvar.weight.detach().numpy().T),
+                            "bias": jnp.asarray(tm.fc_logvar.bias.detach().numpy())}}
+    for name, sub in tm.named_children():
+        if name.startswith("rn"):
+            params[name] = oracle.copy_two_conv_block(sub)
+    j_mu, j_logvar = jm.apply(
+        {"params": params}, jnp.asarray(batch.inputs), batch.operator, jnp.asarray(batch.mask)
+    )
+    np.testing.assert_allclose(np.asarray(j_mu), t_mu.detach().numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(j_logvar), t_logvar.detach().numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_vae_training_elbo_decreases():
+    batch, samples, buckets = _vae_data()
+    model = zoo.LapVAE(num_layers=2)
+    b = {
+        "inputs": jnp.asarray(batch.inputs),
+        "flat_inputs": jnp.asarray(batch.aux["flat_inputs"]),
+        "mask": jnp.asarray(batch.mask),
+        "op": batch.operator,
+        "flat_op": batch.aux["flat_operator"],
+    }
+    params = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        b["inputs"], b["flat_inputs"], b["op"], b["flat_op"], b["mask"],
+    )["params"]
+    state = TrainState.create(params, optim.adam(1e-3, weight_decay=1e-5))
+
+    @jax.jit
+    def step(state, rng):
+        def objective(params):
+            recon_mu, recon_logvar, z, mu, logvar = model.apply(
+                {"params": params},
+                b["inputs"], b["flat_inputs"], b["op"], b["flat_op"], b["mask"],
+                rngs={"sample": rng},
+            )
+            bce, kld = losses.vae_elbo_terms(
+                recon_mu, recon_logvar, b["mask"], b["inputs"], z, mu, logvar
+            )
+            return bce + kld, (bce, kld)
+
+        (loss, (bce, kld)), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
+        return state.apply_gradients(grads), loss
+
+    # fixed sampling key -> deterministic objective, so decrease is monotonic-ish
+    hist = []
+    sub = jax.random.key(2)
+    for i in range(12):
+        state, loss = step(state, sub)
+        hist.append(float(loss))
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0], hist
+
+    # generative path runs
+    fake, _ = model.apply(
+        {"params": state.params},
+        b["flat_inputs"],
+        jnp.zeros((b["inputs"].shape[0], b["inputs"].shape[1], 100), jnp.float32),
+        b["flat_op"],
+        b["mask"],
+        method=zoo.LapVAE.decode,
+    )
+    assert fake.shape == b["inputs"].shape
+
+
+# ---------------------------------------------------------------------------
+# mesh-MNIST classification
+# ---------------------------------------------------------------------------
+
+
+def test_mnist_classifier_trains():
+    samples = datasets.synthetic_mnist_dataset(8, seed=1, n_points=60)
+    buckets = Buckets.for_samples(samples)
+    batch = mnist_batch(samples, buckets, model="lap")
+    model = zoo.mnist_models.Model(layers=2)
+    inputs = jnp.asarray(batch.inputs)
+    mask = jnp.asarray(batch.mask)
+    targets = jnp.asarray(batch.targets)
+    params = model.init(
+        {"params": jax.random.key(0)}, inputs, batch.operator, mask, deterministic=True
+    )["params"]
+    state = TrainState.create(params, optim.adam(1e-3, weight_decay=1e-5))
+
+    @jax.jit
+    def step(state, rng):
+        def objective(params):
+            logp = model.apply(
+                {"params": params}, inputs, batch.operator, mask,
+                deterministic=False, rngs={"dropout": rng},
+            )
+            return losses.nll_loss(logp, targets), losses.accuracy(logp, targets)
+
+        (loss, acc), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
+        return state.apply_gradients(grads), loss, acc
+
+    rng = jax.random.key(3)
+    hist = []
+    for _ in range(15):
+        rng, sub = jax.random.split(rng)
+        state, loss, acc = step(state, sub)
+        hist.append(float(loss))
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0]
+
+
+# ---------------------------------------------------------------------------
+# ARAP
+# ---------------------------------------------------------------------------
+
+
+def test_arap_model_parity_dense():
+    torch = pytest.importorskip("torch")
+    import oracle
+
+    ref_arap = oracle.load_reference_module("as_rigid_as_possible", "models")
+
+    seqs = datasets.synthetic_arap_sequences(1, n_frames=45, n_points=40, seed=2)
+    buckets = Buckets.for_samples([{"V": seqs[0][0]["V"], "F": seqs[0][0]["F"]}], multiple=1)
+    batch = arap_batch(seqs, [(0, 1)], buckets, model="lap", fmt="dense")
+
+    tm = ref_arap.Model(3, dense=True).train()
+    t_out = tm(
+        torch.from_numpy(batch.operator),
+        torch.from_numpy(batch.mask),
+        torch.from_numpy(batch.inputs),
+    )
+
+    jm = zoo.arap_models.Model(layers=3)
+    params = {"params": oracle.copy_deep_model(tm)}
+    j_out = jm.apply(
+        params, jnp.asarray(batch.operator), jnp.asarray(batch.mask), jnp.asarray(batch.inputs)
+    )
+    np.testing.assert_allclose(np.asarray(j_out), t_out.detach().numpy(), rtol=3e-3, atol=3e-4)
+
+
+def test_arap_training_decreases():
+    seqs = datasets.synthetic_arap_sequences(2, n_frames=45, n_points=40, seed=3)
+    buckets = Buckets.for_samples([{"V": s[0]["V"], "F": s[0]["F"]} for s in seqs])
+    batch = arap_batch(seqs, [(0, 0), (1, 2)], buckets, model="lap", fmt="ell")
+    model = zoo.arap_models.Model(layers=3)
+    inputs = jnp.asarray(batch.inputs)
+    mask = jnp.asarray(batch.mask)
+    targets = jnp.asarray(batch.targets)
+    params = model.init(jax.random.key(0), batch.operator, mask, inputs)["params"]
+    state = TrainState.create(params, optim.adam(1e-3, weight_decay=1e-5))
+
+    @jax.jit
+    def step(state):
+        def objective(params):
+            out = model.apply({"params": params}, batch.operator, mask, inputs)
+            out = out * jnp.broadcast_to(mask, out.shape)
+            return losses.smooth_l1_sum(out, targets, inputs.shape[0]), ()
+
+        (loss, _), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
+        return state.apply_gradients(grads), loss
+
+    hist = [float(step(state)[1])]
+    for _ in range(10):
+        state, loss = step(state)
+        hist.append(float(loss))
+    assert hist[-1] < hist[0], hist
+
+
+# ---------------------------------------------------------------------------
+# FAUST correspondence
+# ---------------------------------------------------------------------------
+
+
+def test_siamese_trunk_parity():
+    torch = pytest.importorskip("torch")
+    import oracle
+    import scipy.sparse as sp
+
+    ref_corr = oracle.load_reference_module("dense_correspondence", "models")
+
+    samples = datasets.synthetic_correspondence_dataset(1, n_points=50, seed=4)
+    s = samples[0]
+    buckets = Buckets.for_samples([s], multiple=1)
+    batch = correspondence_batch(s, buckets, model="lap")
+
+    tm = ref_corr.Model(3).train()
+    L = sp.csr_matrix(s["L"])
+    L.resize((buckets.n_vertices, buckets.n_vertices))
+    t_out = tm(
+        oracle.to_torch_sparse(L.tocoo()),
+        torch.from_numpy(batch.mask),
+        torch.from_numpy(batch.inputs),
+    )
+
+    jm = zoo.correspondence.Model(layers=3)
+    params = {"params": oracle.copy_deep_model(tm)}
+    j_out = jm.apply(params, batch.operator, jnp.asarray(batch.mask), jnp.asarray(batch.inputs))
+    np.testing.assert_allclose(np.asarray(j_out), t_out.detach().numpy(), rtol=3e-3, atol=3e-4)
+
+
+def test_correspondence_dcel_decreases():
+    samples = datasets.synthetic_correspondence_dataset(4, n_points=50, seed=5)
+    buckets = Buckets.for_samples(samples)
+    model = zoo.SiameseModel(model="lap", layers=3)
+
+    bx = correspondence_batch(samples[0], buckets)
+    by = correspondence_batch(samples[1], buckets)
+    params = model.init(
+        jax.random.key(0),
+        (bx.operator, jnp.asarray(bx.mask)),
+        (by.operator, jnp.asarray(by.mask)),
+        jnp.asarray(bx.inputs),
+        jnp.asarray(by.inputs),
+    )["params"]
+    state = TrainState.create(params, optim.adam(1e-3, weight_decay=1e-5))
+
+    GA, lA, liA = bx.targets
+    GB, lB, liB = by.targets
+    GAB = losses.aggregate_G(
+        jnp.asarray(GA), jnp.asarray(lA), jnp.asarray(liA),
+        jnp.asarray(GB), jnp.asarray(lB), jnp.asarray(liB),
+    )
+    n = samples[0]["V"].shape[0]
+
+    @jax.jit
+    def step(state):
+        def objective(params):
+            out = model.apply(
+                {"params": params},
+                (bx.operator, jnp.asarray(bx.mask)),
+                (by.operator, jnp.asarray(by.mask)),
+                jnp.asarray(bx.inputs),
+                jnp.asarray(by.inputs),
+            )
+            return losses.corr_delta_cross_entropy(out[0, :n, :n], GAB), ()
+
+        (loss, _), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
+        return state.apply_gradients(grads), loss
+
+    hist = [float(step(state)[1])]
+    for _ in range(10):
+        state, loss = step(state)
+        hist.append(float(loss))
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0], hist
