@@ -1,0 +1,155 @@
+"""ARAP temporal-deformation trainer (reference: src/as_rigid_as_possible/main.py).
+
+2 input frames -> 40 predicted frames, operator from the last input frame,
+masked smooth-L1 sum loss, LR halved every 10 epochs past 50.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surfacenetworks_tpu.cli.common import count_params, log_environment, make_logger
+from surfacenetworks_tpu.data import Buckets, arap_batch, datasets
+from surfacenetworks_tpu.models import arap_models
+from surfacenetworks_tpu.train import TrainState, checkpoint, losses, optim
+
+parser = argparse.ArgumentParser(description="As Rigid As Possible (TPU)")
+parser.add_argument("--batch-size", type=int, default=32)
+parser.add_argument("--num-epoch", type=int, default=110)
+parser.add_argument("--num-updates", type=int, default=1000)
+parser.add_argument("--model", default="lap", help="lap | dir | avg | mlp | gcn")
+parser.add_argument("--layer", type=int, default=15)
+parser.add_argument("--dense", action="store_true")
+parser.add_argument("--first100", action="store_true")
+parser.add_argument("--synthetic", type=int, default=0, help="N synthetic sequences")
+parser.add_argument("--data-path", default="as_rigid_as_possible/data_plus")
+parser.add_argument("--id", dest="result_prefix", default="test")
+parser.add_argument("--result-dir", default="results/arap")
+parser.add_argument("--lr", type=float, default=1e-3)
+parser.add_argument("--seed", type=int, default=17)
+
+MODELS = {
+    "lap": arap_models.Model,
+    "avg": arap_models.AvgModel,
+    "mlp": arap_models.MlpModel,
+    "dir": arap_models.DirModel,
+    "gcn": arap_models.GCNModel,
+}
+
+INPUT_FRAMES = 2
+OUTPUT_FRAMES = 40
+
+
+def load_sequences(args):
+    if args.synthetic:
+        return datasets.synthetic_arap_sequences(args.synthetic, seed=args.seed)
+    files = sorted(glob.glob(os.path.join(args.data_path, "*.npy")))
+    if args.first100:
+        files = files[:100]
+    return [datasets.load_arap_sequence(f) for f in files]
+
+
+def main(argv=None):
+    args = parser.parse_args(argv)
+    log = make_logger(args.result_prefix, os.path.join(args.result_dir, "log"))
+    log(args)
+    log_environment(log)
+
+    sequences = load_sequences(args)
+    n_train = max(len(sequences) * 8 // 10, 1)
+    buckets = Buckets.for_samples([{"V": s[0]["V"], "F": s[0]["F"]} for s in sequences])
+    rng_np = np.random.default_rng(args.seed)
+
+    model = MODELS[args.model](layers=args.layer)
+
+    def sample_train():
+        picks = []
+        for _ in range(args.batch_size):
+            ind = int(rng_np.integers(0, n_train))
+            max_off = len(sequences[ind]) - INPUT_FRAMES - OUTPUT_FRAMES
+            # operators exist only on the first 10 frames (reference pipeline)
+            max_off = min(max_off, 10 - INPUT_FRAMES)
+            picks.append((ind, int(rng_np.integers(0, max(max_off, 1)))))
+        return arap_batch(
+            sequences, picks, buckets, model="dirac" if args.model == "dir" else "lap",
+            fmt="dense" if args.dense else "ell",
+        )
+
+    test_counter = [0]
+
+    def sample_test():
+        picks = []
+        for _ in range(args.batch_size):
+            ind = n_train + (test_counter[0] % max(len(sequences) - n_train, 1))
+            off = test_counter[0] % max(
+                min(len(sequences[ind]) - INPUT_FRAMES - OUTPUT_FRAMES, 10 - INPUT_FRAMES), 1
+            )
+            test_counter[0] += 1
+            picks.append((ind, off))
+        return arap_batch(
+            sequences, picks, buckets, model="dirac" if args.model == "dir" else "lap",
+            fmt="dense" if args.dense else "ell",
+        )
+
+    b0 = sample_train()
+    params = model.init(
+        jax.random.key(0), b0.operator, jnp.asarray(b0.mask), jnp.asarray(b0.inputs)
+    )["params"]
+    log("Num parameters {}".format(count_params(params)))
+    lr = optim.epoch_halving_schedule(args.lr, args.num_updates, 50, 10)
+    state = TrainState.create(params, optim.adam(lr, weight_decay=1e-5))
+
+    @jax.jit
+    def train_step(state, operator, mask, inputs, targets):
+        def objective(params):
+            out = model.apply({"params": params}, operator, mask, inputs)
+            out = out * jnp.broadcast_to(mask, out.shape)
+            return losses.smooth_l1_sum(out, targets, inputs.shape[0]), ()
+
+        (loss, _), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
+        return state.apply_gradients(grads), loss
+
+    @jax.jit
+    def eval_step(params, operator, mask, inputs, targets):
+        out = model.apply({"params": params}, operator, mask, inputs)
+        out = out * jnp.broadcast_to(mask, out.shape)
+        return losses.smooth_l1_sum(out, targets, inputs.shape[0])
+
+    for epoch in range(args.num_epoch):
+        loss_sum = 0.0
+        for _ in range(args.num_updates):
+            b = sample_train()
+            state, loss = train_step(
+                state, b.operator, jnp.asarray(b.mask), jnp.asarray(b.inputs),
+                jnp.asarray(b.targets),
+            )
+            loss_sum += float(loss)
+        log(f"Train epoch {epoch}, loss {loss_sum / args.num_updates}")
+
+        test_trials = max(len(sequences) // 5 // args.batch_size, 1)
+        loss_sum = 0.0
+        for _ in range(test_trials):
+            b = sample_test()
+            loss_sum += float(
+                eval_step(
+                    state.params, b.operator, jnp.asarray(b.mask), jnp.asarray(b.inputs),
+                    jnp.asarray(b.targets),
+                )
+            )
+        log(f"Test epoch {epoch}, loss {loss_sum / test_trials}")
+        checkpoint.save_checkpoint(
+            os.path.join(
+                args.result_dir, "pts", f"{args.result_prefix}_{args.layer}_{args.model}.msgpack"
+            ),
+            state.params, state.opt_state, epoch,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""FAUST dense-correspondence siamese trainer (reference:
+src/dense_correspondence/main.py).
+
+Two shapes per step through a shared trunk; loss over FA@FB^T logits vs the
+aggregated geodesic cost (sl1 | cel | dcel); optional random XZ/XY rotation
+augmentation; auto-deserialize from the conventional checkpoint path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import itertools
+import os
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surfacenetworks_tpu.cli.common import count_params, log_environment, make_logger
+from surfacenetworks_tpu.data import Buckets, correspondence_batch, datasets
+from surfacenetworks_tpu.models import SiameseModel
+from surfacenetworks_tpu.train import TrainState, checkpoint, losses, optim
+
+parser = argparse.ArgumentParser(description="Dense correspondence (TPU)")
+parser.add_argument("--batch-size", type=int, default=1)
+parser.add_argument("--datapath", default="train_FAUST_npz/")
+parser.add_argument("--synthetic", type=int, default=0)
+parser.add_argument("--layer", type=int, default=15)
+parser.add_argument("--loss", default="dcel", choices=["sl1", "cel", "dcel"])
+parser.add_argument("--lr", default="1e-3")
+parser.add_argument("--model", default="lap", help="lap | dir | avg | mlp | amp")
+parser.add_argument("--num-epoch", type=int, default=110)
+parser.add_argument("--num-updates", type=int, default=100)
+parser.add_argument("--result-prefix", default="test")
+parser.add_argument("--result-dir", default="results/dense_correspondence")
+parser.add_argument("--xz-rotate", action="store_true")
+parser.add_argument("--xy-rotate", action="store_true")
+parser.add_argument("--complete-test", action="store_true")
+parser.add_argument("--full-train", action="store_true")
+parser.add_argument("--deser-option", default="auto", choices=["auto", "no", "force"])
+parser.add_argument("--deser-path", default=None)
+parser.add_argument("--num-vertices", type=int, default=7000)
+parser.add_argument("--seed", type=int, default=17)
+
+LOSSES = {
+    "sl1": losses.corr_smooth_l1,
+    "cel": losses.corr_softmin_cross_entropy,
+    "dcel": losses.corr_delta_cross_entropy,
+}
+
+
+def _rotate(V, rng, xz, xy):
+    if xz:
+        t = rng.uniform(0, 2 * np.pi)
+        R = np.array(
+            [[np.cos(t), 0, np.sin(t)], [0, 1, 0], [-np.sin(t), 0, np.cos(t)]], np.float32
+        )
+        V = V @ R
+    if xy:
+        t = rng.uniform(0, 2 * np.pi)
+        R = np.array(
+            [[np.cos(t), np.sin(t), 0], [-np.sin(t), np.cos(t), 0], [0, 0, 1]], np.float32
+        )
+        V = V @ R
+    return V
+
+
+def main(argv=None):
+    args = parser.parse_args(argv)
+    log = make_logger(args.result_prefix, os.path.join(args.result_dir, "log"))
+    log(args)
+    log_environment(log)
+    rng_np = np.random.default_rng(args.seed)
+
+    if args.synthetic:
+        data = datasets.synthetic_correspondence_dataset(args.synthetic, seed=args.seed)
+    else:
+        files = sorted(glob.glob(os.path.join(args.datapath, "*.npz")))
+        data = [datasets.load_faust_npz(f) for f in files]
+    n_train = len(data) if args.full_train else max(len(data) * 8 // 10, 1)
+    buckets = Buckets.for_samples(data)
+
+    model_key = "dirac" if "dir" in args.model else "lap"
+    model = SiameseModel(model=args.model, layers=args.layer)
+
+    def batch_of(sample):
+        s = dict(sample)
+        s["input"] = _rotate(np.asarray(s["input"], np.float32), rng_np, args.xz_rotate, args.xy_rotate)
+        return correspondence_batch(s, buckets, model=model_key)
+
+    b0 = batch_of(data[0])
+    op_a = (b0.operator, jnp.asarray(b0.mask))
+    params = model.init(
+        jax.random.key(0), op_a, op_a, jnp.asarray(b0.inputs), jnp.asarray(b0.inputs)
+    )["params"]
+    log("Num parameters {}".format(count_params(params)))
+    state = TrainState.create(params, optim.adam(float(args.lr), weight_decay=1e-5))
+
+    ckpt_path = os.path.join(args.result_dir, "pts", f"{args.result_prefix}_state.msgpack")
+    if args.deser_option != "no":
+        path = args.deser_path or ckpt_path
+        if os.path.isfile(path):
+            log("Continue...")
+            params, opt_state, _ = checkpoint.restore_training(path, state.params, state.opt_state)
+            state = state.replace(params=params)
+            if opt_state is not None:
+                state = state.replace(opt_state=opt_state)
+
+    loss_fn = LOSSES[args.loss]
+
+    @jax.jit
+    def train_step(state, opx, maskx, inx, opy, masky, iny, GAB, na, nb):
+        def objective(params):
+            out = model.apply({"params": params}, (opx, maskx), (opy, masky), inx, iny)
+            logits = out[0]
+            return loss_fn(logits, GAB), ()
+
+        (loss, _), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
+        return state.apply_gradients(grads), loss
+
+    def run_pair(sa, sb, train=True):
+        ba, bb = batch_of(sa), batch_of(sb)
+        GA, lA, liA = ba.targets
+        GB, lB, liB = bb.targets
+        GAB_real = losses.aggregate_G(
+            jnp.asarray(GA), jnp.asarray(lA), jnp.asarray(liA),
+            jnp.asarray(GB), jnp.asarray(lB), jnp.asarray(liB),
+        )
+        N = buckets.n_vertices
+        GAB = jnp.zeros((N, N), jnp.float32)
+        GAB = GAB.at[: GAB_real.shape[0], : GAB_real.shape[1]].set(GAB_real)
+        # padded logits columns get +inf cost so argmin/softmin ignore them
+        GAB = GAB.at[:, GAB_real.shape[1]:].set(1e9)
+        nonlocal state
+        if train:
+            state, loss = train_step(
+                state, ba.operator, jnp.asarray(ba.mask), jnp.asarray(ba.inputs),
+                bb.operator, jnp.asarray(bb.mask), jnp.asarray(bb.inputs),
+                GAB, GA.shape[0], GB.shape[0],
+            )
+            return float(loss)
+        out = model.apply(
+            {"params": state.params},
+            (ba.operator, jnp.asarray(ba.mask)), (bb.operator, jnp.asarray(bb.mask)),
+            jnp.asarray(ba.inputs), jnp.asarray(bb.inputs),
+        )
+        return float(loss_fn(out[0], GAB))
+
+    for epoch in range(args.num_epoch):
+        loss_sum = 0.0
+        for _ in range(args.num_updates):
+            ia, ib = rng_np.integers(0, n_train, size=2)
+            loss_sum += run_pair(data[int(ia)], data[int(ib)], train=True)
+        log(f"Train epoch {epoch}, loss {loss_sum / args.num_updates}")
+
+        n_test_lo = n_train
+        test_ids = list(range(n_test_lo, len(data)))
+        if test_ids:
+            pairs = list(itertools.product(test_ids, repeat=2))
+            if not args.complete_test:
+                pairs = random.Random(epoch).choices(pairs, k=min(20, len(pairs)))
+            loss_sum = 0.0
+            for i, j in pairs:
+                loss_sum += run_pair(data[i], data[j], train=False)
+            log(f"Test epoch {epoch}, loss {loss_sum / len(pairs)}")
+
+        if epoch % 10 == 9:
+            checkpoint.save_checkpoint(ckpt_path, state.params, state.opt_state, epoch)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,236 @@
+"""Normal-prediction trainer CLI (reference: src/normal_predict/train_4_normal.py
++ the run_normal.py launcher).
+
+Example (synthetic data, quick):
+    python -m surfacenetworks_tpu.cli.train_normal --synthetic 8 \
+        --model lap --layer 3 --num-epoch 2 --num-updates 10 --batch-size 2
+
+With reference-style data (a directory tree of .obj files):
+    python -m surfacenetworks_tpu.cli.train_normal --data-path /path/objs --model dirac
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surfacenetworks_tpu import models as zoo
+from surfacenetworks_tpu.cli.common import EpochSampler, Throughput, count_params, log_environment, make_logger
+from surfacenetworks_tpu.data import Buckets, datasets, dirac_batch, laplacian_batch, rcm_reorder_sample, round_up
+from surfacenetworks_tpu.train import TrainState, checkpoint, losses, optim
+
+parser = argparse.ArgumentParser(description="Normal Predictor (TPU)")
+parser.add_argument("--model", default="lap", help="lap | dirac | avg | mlp | id")
+parser.add_argument("--layer", type=int, default=15)
+parser.add_argument("--batch-size", type=int, default=1)
+parser.add_argument("--num-epoch", type=int, default=500)
+parser.add_argument("--start-epoch", type=int, default=0)
+parser.add_argument("--num-updates", type=int, default=500)
+parser.add_argument("--lr", type=float, default=1e-3)
+parser.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
+parser.add_argument("--half-lr", type=int, default=-1, help="halve LR every N epochs past 100")
+parser.add_argument("--data-path", default=None, help="obj tree root")
+parser.add_argument("--test-path", default="@")
+parser.add_argument("--synthetic", type=int, default=0, help="use N synthetic meshes instead of files")
+parser.add_argument("--no-test", action="store_true")
+parser.add_argument("--uniform-mesh", action="store_true")
+parser.add_argument("--additional-opt", default=[], action="append",
+                    choices=["hack1", "hack0", "amsgrad", "intrinsic", ""])
+parser.add_argument("--operator-format", default="ell", choices=["ell", "bsr", "dense"])
+parser.add_argument("--result-prefix", default="debug")
+parser.add_argument("--result-dir", default="results/normal_predict")
+parser.add_argument("--deser", default=None)
+parser.add_argument("--only-forward-test", action="store_true")
+parser.add_argument("--dump-dir", default="/tmp")
+parser.add_argument("--debug", action="store_true")
+parser.add_argument("--seed", type=int, default=17)
+
+
+def build_model(args):
+    if "avg" in args.model:
+        return zoo.AvgModel(3, 3, args.layer)
+    if args.model == "mlp":
+        return zoo.MlpModel(3, 3, args.layer)
+    if args.model == "id":
+        return zoo.IdDeepModel(3, 3, args.layer)
+    if args.model.startswith("dirac"):
+        return zoo.DirDeepModel(3, 3, args.layer)
+    return zoo.LapDeepModel(3, 3, layers=args.layer)
+
+
+def load_samples(args, log):
+    operator = "dirac" if args.model.startswith("dirac") else "lap"
+    hack = 0.0 if "hack0" in args.additional_opt else 1.0
+    if args.synthetic:
+        samples = datasets.synthetic_normal_dataset(
+            args.synthetic, seed=args.seed, operator=operator, hack=hack
+        )
+        random.shuffle(samples)
+        sep = max(1, int(len(samples) * 0.8))
+        return samples[:sep], samples[sep:]
+    names = datasets.scan_obj_tree(args.data_path)
+    log(f"SEQ:{len(names)}")
+    if args.test_path != "@":
+        train_names, test_names = names, datasets.scan_obj_tree(args.test_path)
+    else:
+        sep = len(names) // 10 * 8
+        random.shuffle(names)
+        train_names, test_names = names[:sep], names[sep:]
+
+    def load_all(paths):
+        out = []
+        for p in paths:
+            s = datasets.load_normal_sample(
+                p, operator=operator, hack=hack, uniform_mesh=args.uniform_mesh
+            )
+            if s is not None:
+                out.append(s)
+        return out
+
+    return load_all(train_names), load_all(test_names)
+
+
+def main(argv=None):
+    args = parser.parse_args(argv)
+    random.seed(args.seed)
+    log = make_logger(args.result_prefix, os.path.join(args.result_dir, "log"), args.debug)
+    log(args)
+    log_environment(log)
+
+    train_samples, test_samples = load_samples(args, log)
+    log(f"Train size: {len(train_samples)} Test size: {len(test_samples)}")
+
+    is_dirac = args.model.startswith("dirac")
+    if args.operator_format == "bsr" and not is_dirac:
+        train_samples = [rcm_reorder_sample(s) for s in train_samples]
+        test_samples = [rcm_reorder_sample(s) for s in test_samples]
+
+    all_samples = train_samples + test_samples
+    buckets = Buckets.for_samples(all_samples, multiple=128 if args.operator_format == "bsr" else 8)
+
+    def make_batch(samples):
+        if is_dirac:
+            return dirac_batch(samples, buckets)
+        return laplacian_batch(samples, buckets, fmt=args.operator_format)
+
+    model = build_model(args)
+    init_batch = make_batch(train_samples[: args.batch_size] or all_samples[: args.batch_size])
+    params = model.init(
+        jax.random.key(0),
+        init_batch.operator,
+        jnp.asarray(init_batch.mask),
+        jnp.asarray(init_batch.inputs),
+    )["params"]
+    log("Num parameters {}".format(count_params(params)))
+
+    if args.half_lr > 0:
+        lr = optim.epoch_halving_schedule(args.lr, args.num_updates, 100, args.half_lr)
+    else:
+        lr = args.lr
+    if args.optimizer == "adam":
+        tx = optim.adam(lr, amsgrad="amsgrad" in args.additional_opt)
+    else:
+        tx = optim.sgd(lr)
+    state = TrainState.create(params, tx)
+
+    ckpt_path = os.path.join(args.result_dir, "pts", f"{args.result_prefix}_normal_state.msgpack")
+    start_epoch = args.start_epoch
+    if args.deser:
+        log("Continue...")
+        params, opt_state, start_epoch = checkpoint.restore_training(
+            args.deser, state.params, state.opt_state
+        )
+        state = state.replace(params=params)
+        if opt_state is not None:
+            state = state.replace(opt_state=opt_state)
+        else:
+            log("Warning: Optimizer is not loaded")
+
+    @jax.jit
+    def train_step(state, operator, mask, inputs, targets):
+        def objective(params):
+            out = model.apply({"params": params}, operator, mask, inputs)
+            loss = losses.normal_cosine_loss(out, mask, targets)
+            mad = losses.mean_angle_deviation(out, mask, targets)
+            return loss, mad
+
+        (loss, mad), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
+        return state.apply_gradients(grads), loss, mad
+
+    @jax.jit
+    def eval_step(params, operator, mask, inputs, targets):
+        out = model.apply({"params": params}, operator, mask, inputs)
+        return (
+            losses.normal_cosine_loss(out, mask, targets),
+            losses.mean_angle_deviation(out, mask, targets),
+            out,
+        )
+
+    train_sampler = EpochSampler(train_samples, args.batch_size, seed=args.seed)
+    test_sampler = EpochSampler(test_samples, args.batch_size, shuffle=False)
+
+    for epoch in range(start_epoch, args.num_epoch):
+        if not args.only_forward_test:
+            meter = Throughput()
+            loss_sum = mad_sum = 0.0
+            for _ in range(args.num_updates):
+                batch = make_batch(train_sampler.next_batch())
+                state, loss, mad = train_step(
+                    state,
+                    batch.operator,
+                    jnp.asarray(batch.mask),
+                    jnp.asarray(batch.inputs),
+                    jnp.asarray(batch.targets),
+                )
+                loss_sum += float(loss)
+                mad_sum += float(mad)
+                if not np.isfinite(loss_sum):
+                    raise FloatingPointError(f"NaN loss at epoch {epoch}")
+                meter.tick(batch.inputs.shape[0] * batch.inputs.shape[1])
+            log(
+                "Train {}, loss {}, mad {}, {}".format(
+                    epoch, loss_sum / args.num_updates, mad_sum / args.num_updates, meter.report()
+                )
+            )
+
+        if not args.no_test and test_samples:
+            trials = max(int(np.ceil(len(test_samples) / args.batch_size)), 1)
+            loss_sum = mad_sum = 0.0
+            for _ in range(trials):
+                batch = make_batch(test_sampler.next_batch())
+                loss, mad, out = eval_step(
+                    state.params,
+                    batch.operator,
+                    jnp.asarray(batch.mask),
+                    jnp.asarray(batch.inputs),
+                    jnp.asarray(batch.targets),
+                )
+                loss_sum += float(loss)
+                mad_sum += float(mad)
+                if args.only_forward_test:
+                    os.makedirs(os.path.join(args.dump_dir, args.result_prefix), exist_ok=True)
+                    for name, pred in zip(batch.names, np.asarray(out)):
+                        base = os.path.basename(str(name))
+                        np.savetxt(
+                            os.path.join(args.dump_dir, args.result_prefix, base + ".csv"),
+                            pred,
+                            delimiter=",",
+                        )
+            log("Eval {}, loss {}, mad {}".format(epoch, loss_sum / trials, mad_sum / trials))
+
+        if args.only_forward_test:
+            return
+        if epoch % 10 == 9 and not args.debug:
+            checkpoint.save_checkpoint(ckpt_path, state.params, state.opt_state, epoch)
+
+    checkpoint.save_checkpoint(ckpt_path, state.params, state.opt_state, args.num_epoch - 1)
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

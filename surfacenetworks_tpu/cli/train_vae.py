@@ -1,0 +1,140 @@
+"""Surface-Networks VAE trainer (reference: src/mesh_mnist/main_vae.py).
+
+ELBO = masked Gaussian reconstruction NLL + KLD with the reference's
+10-epoch linear warm-up (main_vae.py:190).  Per-epoch PLY dumps of inputs,
+reconstructions, and fixed-noise samples decoded on flat meshes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surfacenetworks_tpu import geometry as geo
+from surfacenetworks_tpu.cli.common import EpochSampler, count_params, log_environment, make_logger
+from surfacenetworks_tpu.data import Buckets, datasets, vae_batch
+from surfacenetworks_tpu.models.vae import DirVAE, LapVAE
+from surfacenetworks_tpu.train import TrainState, checkpoint, losses, optim
+
+parser = argparse.ArgumentParser(description="Mesh VAE (TPU)")
+parser.add_argument("--batch-size", type=int, default=64)
+parser.add_argument("--num-epoch", type=int, default=1000)
+parser.add_argument("--model", default="lap", help="lap | dirac")
+parser.add_argument("--num-layers", type=int, default=5)
+parser.add_argument("--synthetic", type=int, default=0)
+parser.add_argument("--data-path", default=None)
+parser.add_argument("--lr", type=float, default=1e-3)
+parser.add_argument("--dump-ply", type=int, default=0, help="dump N sample PLYs per epoch")
+parser.add_argument("--result-prefix", default="vae")
+parser.add_argument("--result-dir", default="results/mesh_mnist_vae")
+parser.add_argument("--seed", type=int, default=17)
+
+
+def main(argv=None):
+    args = parser.parse_args(argv)
+    log = make_logger(args.result_prefix, os.path.join(args.result_dir, "log"))
+    log(args)
+    log_environment(log)
+
+    if args.synthetic:
+        data = datasets.synthetic_mnist_dataset(args.synthetic, seed=args.seed)
+    else:
+        raise SystemExit("provide --synthetic N (reference pickles need mesh_mnist data)")
+    sep = max(1, int(len(data) * 0.8))
+    train_data, test_data = data[:sep], data[sep:]
+    buckets = Buckets.for_samples(data)
+
+    model_key = "dirac" if args.model.startswith("dir") else "lap"
+    model = (DirVAE if model_key == "dirac" else LapVAE)(num_layers=args.num_layers)
+
+    def make_batch(samples):
+        return vae_batch(samples, buckets, model=model_key)
+
+    b0 = make_batch(train_data[: args.batch_size])
+
+    def unpack(b):
+        return (
+            jnp.asarray(b.inputs),
+            jnp.asarray(b.aux["flat_inputs"]),
+            b.operator,
+            b.aux["flat_operator"],
+            jnp.asarray(b.mask),
+        )
+
+    x, fx, op, fop, mask = unpack(b0)
+    params = model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)}, x, fx, op, fop, mask
+    )["params"]
+    log("Num parameters {}".format(count_params(params)))
+    state = TrainState.create(params, optim.adam(args.lr, weight_decay=1e-5))
+
+    @jax.jit
+    def train_step(state, rng, x, fx, op, fop, mask, kld_weight):
+        def objective(params):
+            recon_mu, recon_logvar, z, mu, logvar = model.apply(
+                {"params": params}, x, fx, op, fop, mask, rngs={"sample": rng}
+            )
+            bce, kld = losses.vae_elbo_terms(recon_mu, recon_logvar, mask, x, z, mu, logvar)
+            return bce + kld * kld_weight, (bce, kld, recon_mu)
+
+        (loss, (bce, kld, recon)), grads = jax.value_and_grad(objective, has_aux=True)(
+            state.params
+        )
+        return state.apply_gradients(grads), loss, bce, kld, recon
+
+    @jax.jit
+    def decode(params, fx, noise, fop, mask):
+        return model.apply({"params": params}, fx, noise, fop, mask, method=type(model).decode)
+
+    rng = jax.random.key(args.seed)
+    fixed_noise = jax.random.normal(jax.random.key(999), (args.batch_size, 1, 100))
+    train_sampler = EpochSampler(train_data, args.batch_size, seed=args.seed)
+    test_sampler = EpochSampler(test_data, args.batch_size, shuffle=False)
+    steps = max(len(train_data) // args.batch_size, 1)
+    test_steps = max(len(test_data) // args.batch_size, 1)
+
+    for epoch in range(args.num_epoch):
+        tl = tb = tk = 0.0
+        for _ in range(steps):
+            rng, sub = jax.random.split(rng)
+            b = make_batch(train_sampler.next_batch())
+            x, fx, op, fop, mask = unpack(b)
+            kw = jnp.asarray(min(epoch / 10.0, 1.0), jnp.float32)
+            state, loss, bce, kld, recon = train_step(state, sub, x, fx, op, fop, mask, kw)
+            tl += float(loss); tb += float(bce); tk += float(kld)
+        log(f"Train epoch {epoch}, loss {tl/steps}, bce {tb/steps}, kld {tk/steps}")
+
+        tl = tb = tk = 0.0
+        for _ in range(test_steps):
+            rng, sub = jax.random.split(rng)
+            b = make_batch(test_sampler.next_batch())
+            x, fx, op, fop, mask = unpack(b)
+            _, loss, bce, kld, recon = train_step(state, sub, x, fx, op, fop, mask, jnp.asarray(1.0))
+            tl += float(loss); tb += float(bce); tk += float(kld)
+        log(f"Test epoch {epoch}, loss {tl/test_steps}, bce {tb/test_steps}, kld {tk/test_steps}")
+
+        if args.dump_ply:
+            b = make_batch(test_sampler.next_batch())
+            x, fx, op, fop, mask = unpack(b)
+            noise = jnp.repeat(fixed_noise[: x.shape[0]], x.shape[1], axis=1)
+            fake, _ = decode(state.params, fx, noise, fop, mask)
+            out_dir = os.path.join(args.result_dir, f"results_{args.model}")
+            os.makedirs(out_dir, exist_ok=True)
+            for k in range(min(args.dump_ply, x.shape[0])):
+                geo.save_ply(
+                    os.path.join(out_dir, f"samples_epoch_{k:03d}_{epoch:03d}.ply"),
+                    np.asarray(fake[k]),
+                    np.asarray(b.faces[k]) if b.faces is not None else np.zeros((0, 3), np.int32),
+                )
+        checkpoint.save_checkpoint(
+            os.path.join(args.result_dir, "pts", f"{args.result_prefix}.msgpack"),
+            state.params, state.opt_state, epoch,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -321,6 +321,62 @@ def correspondence_batch(sample: dict, buckets: Buckets, model: str = "lap") -> 
     )
 
 
+def cascade_batch(
+    samples: list[dict],
+    levels: int,
+    n_bucket: int,
+    ell_k: int = 32,
+    input_key: str = "input",
+    target_key: str = "target",
+) -> MeshBatch:
+    """Multiresolution batch for EfficientCascade: per-sample Laplacian
+    pyramids (coarsest..finest), per-vertex data reordered into the
+    pair-adjacent pyramid ordering.  ``operator`` is a list of batched
+    EllOperators, one per level (finest last, matching reference Laps)."""
+    from surfacenetworks_tpu.geometry import coarsening
+
+    B = len(samples)
+    pyramids = [
+        coarsening.build_pyramid(s["V"], s["F"], levels, n_bucket=n_bucket) for s in samples
+    ]
+    N = n_bucket
+    inputs = np.stack(
+        [
+            pad_rows(
+                coarsening.reorder_fine_data(p, np.asarray(s[input_key], np.float32)), N
+            )
+            for p, s in zip(pyramids, samples)
+        ]
+    )
+    targets = np.stack(
+        [
+            pad_rows(
+                coarsening.reorder_fine_data(p, np.asarray(s[target_key], np.float32)), N
+            )
+            for p, s in zip(pyramids, samples)
+        ]
+    )
+    mask = np.stack([coarsening.pyramid_mask(p) for p in pyramids])
+    level_ops = []
+    for lvl in range(levels):
+        ops = []
+        for p in pyramids:
+            L = p.levels[lvl].L
+            from surfacenetworks_tpu.sparse import EllOperator, ell_from_scipy
+
+            fwd = ell_from_scipy(L, k=ell_k, n_rows=L.shape[0], n_cols=L.shape[1])
+            bwd = ell_from_scipy(L.T.tocsr(), k=ell_k, n_rows=L.shape[0], n_cols=L.shape[1])
+            ops.append(EllOperator(fwd=fwd, bwd=bwd))
+        level_ops.append(stack_operators(ops))
+    return MeshBatch(
+        inputs=inputs,
+        targets=targets,
+        mask=mask.astype(np.float32),
+        operator=level_ops,
+        names=[s.get("name") for s in samples],
+    )
+
+
 def dirac_batch(
     samples: list[dict],
     buckets: Buckets,

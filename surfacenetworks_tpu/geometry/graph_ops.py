@@ -57,8 +57,12 @@ def graph_laplacian(
 
 def uniform_weights(dist: sp.csr_matrix) -> sp.csr_matrix:
     """1/d weights with zeroed diagonal (utils/mesh.py:82-90)."""
-    W = sp.csr_matrix((1.0 / dist.data, dist.indices, dist.indptr), shape=dist.shape)
+    with np.errstate(divide="ignore"):
+        W = sp.csr_matrix((1.0 / dist.data, dist.indices, dist.indptr), shape=dist.shape)
     W.setdiag(0)
+    W.eliminate_zeros()
+    # zero-distance off-diagonal pairs (degenerate) would be inf; drop them
+    W.data[~np.isfinite(W.data)] = 0.0
     W.eliminate_zeros()
     return W
 
