@@ -1,0 +1,84 @@
+"""Pallas TPU kernels for the sparse hot path.
+
+``bsr_matmul``: block-ELL SpMM (see /opt/skills/guides/pallas_guide.md).
+
+Design: one grid program per block-row; ``block_cols`` is scalar-prefetched
+(PrefetchScalarGridSpec); the dense activation ``x`` stays resident in VMEM
+for the whole kernel (7168 x 128 f32 = 3.5 MB) so block gathers are VMEM
+dynamic slices; the K stored blocks are packed as one ``[bs, K*bs]`` wide
+matrix so each program issues a single MXU matmul
+``[bs, K*bs] @ [K*bs, C]`` after staging the K x-blocks into scratch.
+
+Measured on TPU v5e (N=7000 cotan Laplacian, RCM-ordered, bs=128, K=5,
+C=128): ~33 us/apply vs ~13-18 us/apply for the XLA einsum formulation in
+``bsr.py`` — XLA lowers the gathered einsum to ONE large batched MXU matmul
+([NB*K, bs, bs] x [NB*K, bs, C]) which a per-block-row Mosaic grid cannot
+currently beat, so the XLA path stays the default
+(``set_default_implementation('xla')``).  This kernel is kept as the
+explicit-DMA implementation: it guarantees no HBM materialization of the
+gathered x-copies and is the substrate for future whole-block fusion
+(ELU + concat + SpMM + weight matmul in one kernel).
+
+Falls back to interpreter mode automatically off-TPU so CPU tests exercise
+the same code path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bsr_matmul_call(block_cols, block_vals, x, interpret=False):
+    nb, kb, bs, _ = block_vals.shape
+    c = x.shape[-1]
+    # pack blocks row-major: [NB, bs, KB*bs]; loop-invariant, hoisted by XLA
+    vals_packed = jnp.swapaxes(block_vals, 1, 2).reshape(nb, bs, kb * bs)
+
+    def kernel(cols_ref, vals_ref, x_ref, out_ref, scratch):
+        i = pl.program_id(0)
+        for k in range(kb):
+            col = cols_ref[i, k]
+            scratch[pl.ds(k * bs, bs), :] = x_ref[pl.ds(col * bs, bs), :]
+        out_ref[...] = jnp.dot(
+            vals_ref[0], scratch[...], preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, bs, kb * bs), lambda i, cols: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x fully resident
+        ],
+        out_specs=pl.BlockSpec((bs, c), lambda i, cols: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((kb * bs, c), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb * bs, c), x.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * kb * bs * bs * c,
+            bytes_accessed=block_vals.size * block_vals.dtype.itemsize + x.size * 4,
+            transcendentals=0,
+        ),
+    )(block_cols, vals_packed, x)
+
+
+def bsr_matmul(block_cols, block_vals, x):
+    """Block-ELL SpMM via an explicit Pallas kernel (shapes pre-blocked)."""
+    return _bsr_matmul_call(block_cols, block_vals, x, interpret=not _on_tpu())
