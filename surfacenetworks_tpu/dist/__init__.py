@@ -11,6 +11,14 @@ from surfacenetworks_tpu.dist.data_parallel import (
     replicate,
     shard_batch,
 )
+from surfacenetworks_tpu.dist import edge_partition
+from surfacenetworks_tpu.dist.edge_partition import (
+    PartitionedOperator,
+    make_partitioned_spmm,
+    partition_operator,
+    shard_partitioned,
+    shard_rows,
+)
 
 __all__ = [
     "batch_sharding",

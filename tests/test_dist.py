@@ -1,0 +1,97 @@
+"""Distribution tests on the virtual 8-device CPU mesh: DP training and
+edge-partitioned SpMM with halo exchange."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from surfacenetworks_tpu import geometry as geo
+from surfacenetworks_tpu import sparse as sps
+from surfacenetworks_tpu.data import datasets
+from surfacenetworks_tpu.dist import edge_partition, make_mesh
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _banded_L(n_points=400, seed=0):
+    rng = np.random.default_rng(seed)
+    V, F = datasets.random_blob_mesh(rng, n_points)
+    L = geo.igl_style_laplacian(V, F, hack=1.0).tocsr()
+    perm = sps.rcm_permutation(L)
+    return L[perm][:, perm].tocsr()
+
+
+def test_partitioned_spmm_matches_scipy():
+    L = _banded_L()
+    n_parts = 4
+    N = (L.shape[0] + n_parts * 8 - 1) // (n_parts * 8) * (n_parts * 8)
+    coo = L.tocoo()
+    halo = N // n_parts  # generous halo for the small test mesh
+    op = edge_partition.partition_operator(L, n_parts, halo=halo, k=16, n_rows=N)
+    mesh = make_mesh(n_data=2, n_graph=n_parts)
+    pspmm = edge_partition.make_partitioned_spmm(mesh)
+
+    x = np.zeros((N, 8), dtype=np.float32)
+    x[: L.shape[0]] = np.random.default_rng(1).normal(size=(L.shape[0], 8))
+    with mesh:
+        op_d = edge_partition.shard_partitioned(mesh, op)
+        x_d = edge_partition.shard_rows(mesh, jnp.asarray(x))
+        out = jax.jit(pspmm)(op_d, x_d)
+    np.testing.assert_allclose(
+        np.asarray(out)[: L.shape[0]], L @ x[: L.shape[0]], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_partitioned_spmm_grad_is_transpose():
+    L = _banded_L(seed=2)
+    n_parts = 4
+    N = (L.shape[0] + n_parts * 8 - 1) // (n_parts * 8) * (n_parts * 8)
+    halo = N // n_parts
+    op = edge_partition.partition_operator(L, n_parts, halo=halo, k=16, n_rows=N)
+    mesh = make_mesh(n_data=2, n_graph=n_parts)
+    pspmm = edge_partition.make_partitioned_spmm(mesh)
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(N, 4)).astype(np.float32)
+    w = rng.normal(size=(N, 4)).astype(np.float32)
+    with mesh:
+        op_d = edge_partition.shard_partitioned(mesh, op)
+        x_d = edge_partition.shard_rows(mesh, jnp.asarray(x))
+        w_d = edge_partition.shard_rows(mesh, jnp.asarray(w))
+        g = jax.jit(jax.grad(lambda x: jnp.sum(pspmm(op_d, x) * w_d)))(x_d)
+    Lp = L.copy()
+    Lp.resize((N, N))
+    np.testing.assert_allclose(np.asarray(g), Lp.T @ w, rtol=1e-4, atol=1e-4)
+
+
+def test_partition_rejects_bandwidth_violation():
+    # unordered Laplacian on a larger mesh has bandwidth ~N; tiny halo must fail
+    rng = np.random.default_rng(4)
+    V, F = datasets.random_blob_mesh(rng, 200)
+    L = geo.igl_style_laplacian(V, F, hack=1.0).tocsr()
+    with pytest.raises(ValueError, match="bandwidth"):
+        edge_partition.partition_ell(L, n_parts=4, halo=2, k=16, n_rows=200)
+
+
+def test_halo_partitioned_model_layer():
+    """A LapResNet-style layer computed through the partitioned op matches the
+    single-device ELL path."""
+    L = _banded_L(seed=5)
+    n_parts = 4
+    N = (L.shape[0] + n_parts * 8 - 1) // (n_parts * 8) * (n_parts * 8)
+    halo = N // n_parts
+    pop = edge_partition.partition_operator(L, n_parts, halo=halo, k=16, n_rows=N)
+    op = sps.operator_from_scipy(L, n_rows=N, n_cols=N, k_multiple=8)
+    mesh = make_mesh(n_data=2, n_graph=n_parts)
+    pspmm = edge_partition.make_partitioned_spmm(mesh)
+
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(N, 16)).astype(np.float32)
+    with mesh:
+        pop_d = edge_partition.shard_partitioned(mesh, pop)
+        x_d = edge_partition.shard_rows(mesh, jnp.asarray(x))
+        y_part = jax.jit(lambda x: jax.nn.elu(pspmm(pop_d, x)))(x_d)
+    y_ref = jax.nn.elu(sps.spmm(op, jnp.asarray(x)))
+    np.testing.assert_allclose(np.asarray(y_part), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
