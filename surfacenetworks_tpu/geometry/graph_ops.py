@@ -121,20 +121,21 @@ def sym_norm_laplacian(F: np.ndarray, num_vertices: int | None = None) -> sp.csr
 
 
 def triangle_triangle_adjacency(F: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """TT / TTi: for each face and corner-opposite edge, the neighbouring face
-    and the corresponding edge slot in that face (-1 on boundary).
+    """TT / TTi in the igl convention: edge slot e of face f is the directed
+    edge ``F[f, e] -> F[f, (e+1)%3]``; ``TT[f, e]`` is the face across it and
+    ``TTi[f, e]`` that face's slot for the same edge (-1 on boundary).
 
-    Equivalent of igl triangle_triangle_adjacency; used by edge-flip
-    augmentation and mesh repair.
+    The igl convention is what the reference's edge-flip bookkeeping assumes
+    (geom_utils.edge_flip:111-159); used by edge-flip augmentation, mesh
+    repair, and the intrinsic Delaunay flips.
     """
     m = F.shape[0]
     TT = -np.ones((m, 3), dtype=np.int64)
     TTi = -np.ones((m, 3), dtype=np.int64)
-    # edge slot e of face f connects vertices (F[f,(e+1)%3], F[f,(e+2)%3])
     edges = {}
     for f in range(m):
         for e in range(3):
-            a, b = int(F[f, (e + 1) % 3]), int(F[f, (e + 2) % 3])
+            a, b = int(F[f, e]), int(F[f, (e + 1) % 3])
             key = (min(a, b), max(a, b))
             if key in edges:
                 f2, e2 = edges[key]
