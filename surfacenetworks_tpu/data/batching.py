@@ -149,12 +149,20 @@ def laplacian_batch(
 
 
 def _fixed_k_operator(L: sp.spmatrix, buckets: Buckets, N: int):
-    """ELL operator with dataset-fixed slot counts for both directions."""
+    """ELL operator with dataset-fixed slot counts for both directions.
+
+    Uses the native one-pass CSR->(fwd, transpose) packer when the C++
+    runtime is built; NumPy/scipy otherwise (identical output, pinned by
+    tests/test_native.py)."""
+    from surfacenetworks_tpu import native
     from surfacenetworks_tpu.sparse import EllOperator, ell_from_scipy
 
-    L = L.astype(np.float32)
-    fwd = ell_from_scipy(L, k=buckets.ell_k, n_rows=N, n_cols=N)
-    bwd = ell_from_scipy(L.T.tocsr(), k=buckets.ell_k_t, n_rows=N, n_cols=N)
+    csr = L.tocsr().astype(np.float32)
+    op = native.ell_operator_from_csr(csr, N, buckets.ell_k, buckets.ell_k_t)
+    if op is not None:
+        return op
+    fwd = ell_from_scipy(csr, k=buckets.ell_k, n_rows=N, n_cols=N)
+    bwd = ell_from_scipy(csr.T.tocsr(), k=buckets.ell_k_t, n_rows=N, n_cols=N)
     return EllOperator(fwd=fwd, bwd=bwd)
 
 
