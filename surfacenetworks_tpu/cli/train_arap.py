@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from surfacenetworks_tpu import config
 from surfacenetworks_tpu.cli.common import count_params, log_environment, make_logger
 from surfacenetworks_tpu.data import Buckets, arap_batch, datasets
 from surfacenetworks_tpu.models import arap_models
@@ -33,6 +34,7 @@ parser.add_argument("--id", dest="result_prefix", default="test")
 parser.add_argument("--result-dir", default="results/arap")
 parser.add_argument("--lr", type=float, default=1e-3)
 parser.add_argument("--seed", type=int, default=17)
+config.add_config_flags(parser)
 
 MODELS = {
     "lap": arap_models.Model,
@@ -56,7 +58,7 @@ def load_sequences(args):
 
 
 def main(argv=None):
-    args = parser.parse_args(argv)
+    args = config.parse_with_config(parser, argv)
     log = make_logger(args.result_prefix, os.path.join(args.result_dir, "log"))
     log(args)
     log_environment(log)

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from surfacenetworks_tpu import config
 from surfacenetworks_tpu.cli.common import count_params, log_environment, make_logger
 from surfacenetworks_tpu.data import Buckets, correspondence_batch, datasets
 from surfacenetworks_tpu.models import SiameseModel
@@ -43,6 +44,7 @@ parser.add_argument("--deser-option", default="auto", choices=["auto", "no", "fo
 parser.add_argument("--deser-path", default=None)
 parser.add_argument("--num-vertices", type=int, default=7000)
 parser.add_argument("--seed", type=int, default=17)
+config.add_config_flags(parser)
 
 LOSSES = {
     "sl1": losses.corr_smooth_l1,
@@ -68,7 +70,7 @@ def _rotate(V, rng, xz, xy):
 
 
 def main(argv=None):
-    args = parser.parse_args(argv)
+    args = config.parse_with_config(parser, argv)
     log = make_logger(args.result_prefix, os.path.join(args.result_dir, "log"))
     log(args)
     log_environment(log)

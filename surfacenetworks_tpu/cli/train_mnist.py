@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from surfacenetworks_tpu import config
 from surfacenetworks_tpu.cli.common import EpochSampler, count_params, log_environment, make_logger
 from surfacenetworks_tpu.data import Buckets, datasets, mnist_batch
 from surfacenetworks_tpu.models import mnist_models
@@ -29,6 +30,7 @@ parser.add_argument("--lr", type=float, default=1e-3)
 parser.add_argument("--result-prefix", default="mnist")
 parser.add_argument("--result-dir", default="results/mesh_mnist")
 parser.add_argument("--seed", type=int, default=17)
+config.add_config_flags(parser)
 
 
 MODELS = {
@@ -59,7 +61,7 @@ def load_data(args):
 
 
 def main(argv=None):
-    args = parser.parse_args(argv)
+    args = config.parse_with_config(parser, argv)
     log = make_logger(args.result_prefix, os.path.join(args.result_dir, "log"))
     log(args)
     log_environment(log)

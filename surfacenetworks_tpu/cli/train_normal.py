@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from surfacenetworks_tpu import config
 from surfacenetworks_tpu import models as zoo
 from surfacenetworks_tpu.cli.common import EpochSampler, Throughput, count_params, log_environment, make_logger
 from surfacenetworks_tpu.data import Buckets, datasets, dirac_batch, laplacian_batch, rcm_reorder_sample, round_up
@@ -49,6 +50,9 @@ parser.add_argument("--only-forward-test", action="store_true")
 parser.add_argument("--dump-dir", default="/tmp")
 parser.add_argument("--debug", action="store_true")
 parser.add_argument("--seed", type=int, default=17)
+parser.add_argument("--jax-profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the first training epoch")
+config.add_config_flags(parser)
 
 
 def build_model(args):
@@ -96,11 +100,15 @@ def load_samples(args, log):
 
 
 def main(argv=None):
-    args = parser.parse_args(argv)
+    args = config.parse_with_config(parser, argv)
     random.seed(args.seed)
     log = make_logger(args.result_prefix, os.path.join(args.result_dir, "log"), args.debug)
     log(args)
     log_environment(log)
+    if not args.debug:
+        config.dump_config(
+            args, os.path.join(args.result_dir, "cfg", f"{args.result_prefix}.json")
+        )
 
     train_samples, test_samples = load_samples(args, log)
     log(f"Train size: {len(train_samples)} Test size: {len(test_samples)}")
@@ -174,7 +182,11 @@ def main(argv=None):
     train_sampler = EpochSampler(train_samples, args.batch_size, seed=args.seed)
     test_sampler = EpochSampler(test_samples, args.batch_size, shuffle=False)
 
+    profiling = False
     for epoch in range(start_epoch, args.num_epoch):
+        if args.jax_profile and epoch == start_epoch and not args.only_forward_test:
+            jax.profiler.start_trace(args.jax_profile)
+            profiling = True
         if not args.only_forward_test:
             meter = Throughput()
             loss_sum = mad_sum = 0.0
@@ -197,6 +209,11 @@ def main(argv=None):
                     epoch, loss_sum / args.num_updates, mad_sum / args.num_updates, meter.report()
                 )
             )
+            if profiling:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                profiling = False
+                log(f"jax profiler trace written to {args.jax_profile}")
 
         if not args.no_test and test_samples:
             trials = max(int(np.ceil(len(test_samples) / args.batch_size)), 1)

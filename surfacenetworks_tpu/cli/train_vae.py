@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from surfacenetworks_tpu import geometry as geo
+from surfacenetworks_tpu import config
 from surfacenetworks_tpu.cli.common import EpochSampler, count_params, log_environment, make_logger
 from surfacenetworks_tpu.data import Buckets, datasets, vae_batch
 from surfacenetworks_tpu.models.vae import DirVAE, LapVAE
@@ -32,10 +33,11 @@ parser.add_argument("--dump-ply", type=int, default=0, help="dump N sample PLYs 
 parser.add_argument("--result-prefix", default="vae")
 parser.add_argument("--result-dir", default="results/mesh_mnist_vae")
 parser.add_argument("--seed", type=int, default=17)
+config.add_config_flags(parser)
 
 
 def main(argv=None):
-    args = parser.parse_args(argv)
+    args = config.parse_with_config(parser, argv)
     log = make_logger(args.result_prefix, os.path.join(args.result_dir, "log"))
     log(args)
     log_environment(log)
