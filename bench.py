@@ -44,21 +44,83 @@ def _build_workload(n_points=7000, channels=128):
     return op, bop, L, x
 
 
-def _measure_pair(fn, args, iters=4):
-    """Best-of time at the short and long trip counts (scalar fetch forces
+def _measure_pair(fn, args, iters=6):
+    """Median-of time at the short and long trip counts (scalar fetch forces
     completion)."""
+    import statistics
+
     import jax.numpy as jnp
 
     def timed(n):
-        best = float("inf")
+        times = []
         float(fn(*args, jnp.asarray(n, jnp.int32)))  # warm this trip count
         for _ in range(iters):
             t0 = time.perf_counter()
             float(fn(*args, jnp.asarray(n, jnp.int32)))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            times.append(time.perf_counter() - t0)
+        return statistics.median(times)
 
     return timed(N_SHORT), timed(N_LONG)
+
+
+def _per_apply(fn, args):
+    """Per-application time from the long/short chain difference, which
+    cancels dispatch/fetch latency.  When host-side noise swamps the
+    difference (short not measurably cheaper than long), fall back to the
+    latency-inclusive long-chain estimate — an over-estimate, never a bogus
+    near-zero."""
+    t_short, t_long = _measure_pair(fn, args)
+    diff = t_long - t_short
+    if diff < 0.2 * t_long:
+        return t_long / N_LONG
+    return diff / (N_LONG - N_SHORT)
+
+
+def _train_step_time(n_meshes=4, n_points=1000, layers=15, iters=8):
+    """Per-step wall time of the flagship jit'd training step (LapDeepModel,
+    15 layers / 128-d — the normal-predict default, run_normal.py:9-29).
+    The BASELINE epoch-time north star is num_updates x this."""
+    import jax
+    import jax.numpy as jnp
+
+    from surfacenetworks_tpu import models as zoo
+    from surfacenetworks_tpu.data import Buckets, datasets, laplacian_batch
+    from surfacenetworks_tpu.train import TrainState, losses, optim
+
+    samples = datasets.synthetic_normal_dataset(n_meshes, n_points, seed=0, operator="lap")
+    buckets = Buckets.for_samples(samples)
+    batch = laplacian_batch(samples, buckets)
+    model = zoo.LapDeepModel(3, 3, layers=layers)
+    operator = batch.operator
+    mask, inputs, targets = (jnp.asarray(a) for a in (batch.mask, batch.inputs, batch.targets))
+    params = model.init(jax.random.key(0), operator, mask, inputs)["params"]
+    state = TrainState.create(params, optim.adam(1e-3))
+
+    def step(state, _):
+        def objective(p):
+            out = model.apply({"params": p}, operator, mask, inputs)
+            return losses.normal_cosine_loss(out, mask, targets)
+
+        loss, grads = jax.value_and_grad(objective)(state.params)
+        return state.apply_gradients(grads), loss
+
+    def run(state, n_steps):
+        state, losses_ = jax.lax.scan(step, state, None, length=n_steps)
+        return state, losses_[-1]
+
+    import statistics
+
+    def timed(n):
+        out = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            s, loss = jax.jit(run, static_argnums=1)(state, n)
+            jax.block_until_ready(s.params)
+            out.append(time.perf_counter() - t0)
+        return statistics.median(out)
+
+    timed(1), timed(9)  # warm both compiles
+    return max(timed(9) - timed(1), 1e-9) / 8
 
 
 def main():
@@ -95,15 +157,14 @@ def main():
         return jnp.sum(jax.lax.fori_loop(0, n, body, x))
 
     xj = jnp.asarray(x)
-    n_apps = N_LONG - N_SHORT
-
-    def per_apply(fn, *args):
-        t1, t2 = _measure_pair(fn, args)
-        return max(t2 - t1, 1e-9) / n_apps
-
-    t_ell = per_apply(ell_iter, op, xj)
-    t_bsr = per_apply(bsr_iter, bop, xj)
-    t_dense = per_apply(dense_iter, jnp.asarray(dense_pad), xj)
+    # operators live on device before timing (they are step-invariant inputs
+    # in training too; only activations stream per step)
+    op = jax.device_put(op)
+    bop = jax.device_put(bop)
+    t_ell = _per_apply(ell_iter, (op, xj))
+    t_bsr = _per_apply(bsr_iter, (bop, xj))
+    t_dense = _per_apply(dense_iter, (jnp.asarray(dense_pad), xj))
+    t_step = _train_step_time()
 
     best_name, best_t = min(
         [("ell_gather", t_ell), ("bsr_mxu", t_bsr)], key=lambda kv: kv[1]
@@ -125,6 +186,7 @@ def main():
                     "ell_us_per_apply": round(t_ell * 1e6, 3),
                     "bsr_us_per_apply": round(t_bsr * 1e6, 3),
                     "dense_us_per_apply": round(t_dense * 1e6, 3),
+                    "train_step_ms_b4_n1000_l15": round(t_step * 1e3, 3),
                     "device": str(device),
                 },
             }
