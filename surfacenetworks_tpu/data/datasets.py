@@ -250,6 +250,62 @@ def load_faust_npz(path: str) -> dict:
     return out
 
 
+def load_mnist_idx(images_path: str, labels_path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read MNIST in the standard idx format (optionally .gz).
+
+    The reference pulls MNIST through ``torchvision.datasets`` in
+    mesh_mnist/create_data.py; this loader reads the raw idx files directly
+    (no torchvision dependency).  Returns (images [N, 28, 28] uint8,
+    labels [N] int64).
+    """
+    import gzip
+    import struct
+
+    def _open(p):
+        return gzip.open(p, "rb") if p.endswith(".gz") else open(p, "rb")
+
+    with _open(images_path) as fh:
+        magic, n, rows, cols = struct.unpack(">IIII", fh.read(16))
+        if magic != 2051:
+            raise ValueError(f"bad idx image magic {magic} in {images_path}")
+        images = np.frombuffer(fh.read(n * rows * cols), np.uint8).reshape(n, rows, cols)
+    with _open(labels_path) as fh:
+        magic, n2 = struct.unpack(">II", fh.read(8))
+        if magic != 2049:
+            raise ValueError(f"bad idx label magic {magic} in {labels_path}")
+        labels = np.frombuffer(fh.read(n2), np.uint8).astype(np.int64)
+    if n != n2:
+        raise ValueError(f"image/label count mismatch: {n} vs {n2}")
+    return images, labels
+
+
+def build_mnist_mesh_dataset(
+    images: np.ndarray,
+    labels: np.ndarray,
+    limit: int | None = None,
+    with_operators: bool = True,
+    seed: int = 0,
+) -> list[dict]:
+    """Offline mesh-MNIST dataset pass: images -> meshes -> operators.
+
+    The combination of the reference's create_data.py (Poisson-disc sample +
+    Delaunay + rejection) and add_laplacian.py (normalize + cotan L + Dirac
+    for the lifted and flat meshes); rejected images are skipped like the
+    reference's `continue` (create_data.py:92-101).
+    """
+    from surfacenetworks_tpu.geometry import sampling
+
+    rng = np.random.default_rng(seed)
+    out = []
+    n = len(images) if limit is None else min(limit, len(images))
+    for i in range(n):
+        sample = sampling.image_to_mesh(np.asarray(images[i], np.float64), int(labels[i]), rng=rng)
+        if sample is None:
+            continue
+        out.append(sampling.add_operators(sample) if with_operators else sample)
+    return out
+
+
 def load_arap_sequence(path: str) -> list[dict]:
     """Load one ARAP .npy sequence in the reference layout
     (as_rigid_as_possible/main.py:58-76)."""
