@@ -284,7 +284,7 @@ def arap_batch(
         operator = stack_dirac(
             [
                 dirac_from_coeffs(
-                    s.get("dirac") or geo.dirac_coeffs(s["V"], s["F"]),
+                    s.get("dirac") or native.dirac_coeffs(s["V"], s["F"]),
                     N, buckets.n_faces, buckets.max_valence,
                 )
                 for s in op_samples
@@ -314,7 +314,7 @@ def correspondence_batch(sample: dict, buckets: Buckets, model: str = "lap") -> 
     if model == "dirac":
         coeffs = sample.get("dirac")
         if coeffs is None:
-            coeffs = geo.dirac_coeffs(sample["V"], sample["F"])
+            coeffs = native.dirac_coeffs(sample["V"], sample["F"])
         operator = stack_dirac(
             [dirac_from_coeffs(coeffs, N, buckets.n_faces, buckets.max_valence)]
         )
@@ -403,7 +403,7 @@ def dirac_batch(
     for s in samples:
         coeffs = s.get("dirac")
         if coeffs is None:
-            coeffs = geo.dirac_coeffs(s["V"], s["F"])
+            coeffs = native.dirac_coeffs(s["V"], s["F"])
         ops.append(
             dirac_from_coeffs(coeffs, n_vertices=N, n_faces=M, max_valence=buckets.max_valence)
         )

@@ -18,6 +18,7 @@ import scipy.sparse as sp
 from scipy.spatial import ConvexHull, Delaunay
 
 from surfacenetworks_tpu import geometry as geo
+from surfacenetworks_tpu import native
 
 
 # ---------------------------------------------------------------------------
@@ -98,7 +99,7 @@ def synthetic_normal_dataset(
         if operator == "lap":
             sample["L"] = geo.igl_style_laplacian(V, F, hack=hack)
         else:
-            sample["dirac"] = geo.dirac_coeffs(V, F)
+            sample["dirac"] = native.dirac_coeffs(V, F)
         out.append(sample)
     return out
 
@@ -121,8 +122,8 @@ def synthetic_mnist_dataset(num: int, seed: int = 0, n_points: int = 120) -> lis
             "label": label,
             "L": geo.mesh_laplacian(V, F).astype(np.float32),
             "flat_L": geo.mesh_laplacian(flat_V, F).astype(np.float32),
-            "dirac": geo.dirac_coeffs(V, F),
-            "flat_dirac": geo.dirac_coeffs(flat_V, F),
+            "dirac": native.dirac_coeffs(V, F),
+            "flat_dirac": native.dirac_coeffs(flat_V, F),
             "flat_V": flat_V,
             "name": f"mnistlike_{i}",
         }
@@ -151,7 +152,7 @@ def synthetic_arap_sequences(
             frame = {"V": V.astype(np.float32), "F": F}
             if t < 10:
                 frame["L"] = geo.mesh_laplacian(V, F).astype(np.float32)
-                frame["dirac"] = geo.dirac_coeffs(V, F)
+                frame["dirac"] = native.dirac_coeffs(V, F)
             frames.append(frame)
         sequences.append(frames)
     return sequences
@@ -223,7 +224,7 @@ def load_normal_sample(
             return None
         sample["L"] = L
     else:
-        sample["dirac"] = geo.dirac_coeffs(V, F)
+        sample["dirac"] = native.dirac_coeffs(V, F)
     return sample
 
 
