@@ -89,7 +89,7 @@ def _train_step_time(n_meshes=4, n_points=1000, layers=15, iters=8):
 
     samples = datasets.synthetic_normal_dataset(n_meshes, n_points, seed=0, operator="lap")
     buckets = Buckets.for_samples(samples)
-    batch = laplacian_batch(samples, buckets)
+    batch = laplacian_batch(samples, buckets, fmt="auto")
     model = zoo.LapDeepModel(3, 3, layers=layers)
     operator = batch.operator
     mask, inputs, targets = (jnp.asarray(a) for a in (batch.mask, batch.inputs, batch.targets))

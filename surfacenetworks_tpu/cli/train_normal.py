@@ -42,7 +42,7 @@ parser.add_argument("--no-test", action="store_true")
 parser.add_argument("--uniform-mesh", action="store_true")
 parser.add_argument("--additional-opt", default=[], action="append",
                     choices=["hack1", "hack0", "amsgrad", "intrinsic", ""])
-parser.add_argument("--operator-format", default="ell", choices=["ell", "bsr", "dense"])
+parser.add_argument("--operator-format", default="auto", choices=["auto", "ell", "bsr", "dense"])
 parser.add_argument("--result-prefix", default="debug")
 parser.add_argument("--result-dir", default="results/normal_predict")
 parser.add_argument("--deser", default=None)

@@ -91,6 +91,22 @@ def rcm_reorder_sample(sample: dict) -> dict:
     return out
 
 
+def choose_operator_format(batch_size: int, n_vertices: int) -> str:
+    """Pick the fastest operator representation for a bucket shape.
+
+    Measured on TPU v5e (LapDeepModel-15 train step, B=4, N=1008): the dense
+    [B, N, N] MXU path is ~11x faster than the ELL gather path — TPUs are
+    dense-matmul machines and mesh buckets up to a couple thousand vertices
+    cost less as dense operators than as gathers.  Dense is chosen whenever
+    the batched operator fits a modest memory budget; larger buckets fall
+    back to ELL (callers that RCM-reorder can opt into ``'bsr'`` instead).
+    """
+    dense_bytes = batch_size * n_vertices * n_vertices * 4
+    if n_vertices <= 2048 and dense_bytes <= 128 * 1024 * 1024:
+        return "dense"
+    return "ell"
+
+
 def laplacian_batch(
     samples: list[dict],
     buckets: Buckets,
@@ -103,10 +119,12 @@ def laplacian_batch(
     Each sample: ``V [n,3]``, ``F [m,3]``, ``L`` scipy sparse, ``input``,
     ``target`` arrays.  Replaces sampler.sample_batch + sparse_diag_cat
     (normal_predict/sampler.py:93-181) with bucketed padding + operator
-    stacking.
+    stacking.  ``fmt='auto'`` selects per :func:`choose_operator_format`.
     """
     B = len(samples)
     N = buckets.n_vertices
+    if fmt == "auto":
+        fmt = choose_operator_format(B, N)
     inputs = np.stack([pad_rows(np.asarray(s[input_key], np.float32), N) for s in samples])
     targets = np.stack([pad_rows(np.asarray(s[target_key], np.float32), N) for s in samples])
     mask = np.zeros((B, N, 1), dtype=np.float32)

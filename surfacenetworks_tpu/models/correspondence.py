@@ -24,18 +24,26 @@ def _head(x, inputs):
 
 
 class Model(nn.Module):
-    """Lap trunk (models.py:21-49)."""
+    """Lap trunk (models.py:21-49).
+
+    ``remat=True`` rematerializes each block in the backward pass
+    (jax.checkpoint): for full-resolution FAUST scans (7k vertices, 15
+    layers, two siamese passes) this caps stored activations at O(1) blocks.
+    """
 
     layers: int = 15
+    remat: bool = False
 
     @nn.compact
     def __call__(self, op, mask, inputs):
+        lap_cls = nn.remat(LapResNet2) if self.remat else LapResNet2
+        avg_cls = nn.remat(AvgResNet2) if self.remat else AvgResNet2
         x = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
         for i in range(self.layers):
             if i % 2 == 0:
-                x = LapResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+                x = lap_cls(WIDTH, name=f"rn{i}")(op, mask, x)
             else:
-                x = AvgResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+                x = avg_cls(WIDTH, name=f"rn{i}")(op, mask, x)
         x = nn.elu(x)
         x = GraphConv1x1(WIDTH, OUT, "pre", name="conv2")(x)
         return _head(x, inputs)

@@ -41,6 +41,9 @@ class LapDeepModel(nn.Module):
     bnmode: str | None = ""
     only_lap: bool = False
     bottleneck: bool = False
+    remat: bool = False  # rematerialize each block's activations in the
+    # backward pass (jax.checkpoint) — trades ~1 extra forward of FLOPs for
+    # O(layers) -> O(1) stored activations; for FAUST-scale meshes
 
     @nn.compact
     def __call__(self, op, mask, inputs):
@@ -50,13 +53,15 @@ class LapDeepModel(nn.Module):
         else:
             widths = [WIDTH] * (self.layers + 1)
         x = GraphConv1x1(self.in_features, WIDTH, "", name="conv1")(inputs)
+        lap_cls = nn.remat(WideLapResNet2) if self.remat else WideLapResNet2
+        avg_cls = nn.remat(WideAvgResNet2) if self.remat else WideAvgResNet2
         for i in range(self.layers):
             if i % 2 == 0 or self.only_lap:
-                x = WideLapResNet2(widths[i], widths[i + 1], self.bnmode, name=f"rn{i}")(
+                x = lap_cls(widths[i], widths[i + 1], self.bnmode, name=f"rn{i}")(
                     op, mask, x
                 )
             else:
-                x = WideAvgResNet2(widths[i], widths[i + 1], self.bnmode, name=f"rn{i}")(
+                x = avg_cls(widths[i], widths[i + 1], self.bnmode, name=f"rn{i}")(
                     op, mask, x
                 )
         x = nn.elu(x)

@@ -167,3 +167,30 @@ def test_checkpoint_roundtrip_and_fuzzy(tmp_path):
         np.asarray(merged["conv1"]["fc"]["kernel"]),
         np.asarray(params["conv1"]["fc"]["kernel"]),
     )
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint'd blocks must be numerically identical fwd and bwd.
+
+    BN-free config: the batch-norm gradient's cancellation amplifies f32
+    rounding across fusion changes (verified exact to 1e-11 in f64), so the
+    strict comparison is done without BN."""
+    import jax
+    import jax.numpy as jnp
+
+    from surfacenetworks_tpu import models as zoo
+    from surfacenetworks_tpu.data import Buckets, datasets, laplacian_batch
+
+    samples = datasets.synthetic_normal_dataset(2, 50, seed=3, operator="lap")
+    batch = laplacian_batch(samples, Buckets.for_samples(samples))
+    mask, inputs = jnp.asarray(batch.mask), jnp.asarray(batch.inputs)
+    m0 = zoo.LapDeepModel(3, 3, layers=4, bnmode=None)
+    m1 = zoo.LapDeepModel(3, 3, layers=4, bnmode=None, remat=True)
+    params = m0.init(jax.random.key(0), batch.operator, mask, inputs)
+    y0 = m0.apply(params, batch.operator, mask, inputs)
+    y1 = m1.apply(params, batch.operator, mask, inputs)
+    assert jnp.allclose(y0, y1, atol=1e-5)
+    g0 = jax.grad(lambda p: m0.apply(p, batch.operator, mask, inputs).sum())(params)
+    g1 = jax.grad(lambda p: m1.apply(p, batch.operator, mask, inputs).sum())(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        assert jnp.allclose(a, b, atol=1e-4, rtol=1e-4)

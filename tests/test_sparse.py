@@ -176,3 +176,29 @@ def test_dense_bmm():
     x = rng.normal(size=(2, 6, 3)).astype(np.float32)
     out = np.asarray(sps.dense_bmm(jnp.asarray(L), jnp.asarray(x)))
     np.testing.assert_allclose(out, L @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_auto_format_selection():
+    from surfacenetworks_tpu.data import choose_operator_format
+
+    assert choose_operator_format(4, 1024) == "dense"
+    assert choose_operator_format(1, 2048) == "dense"
+    assert choose_operator_format(32, 2048) == "ell"  # memory budget
+    assert choose_operator_format(1, 7168) == "ell"  # too many vertices
+
+
+def test_auto_batch_matches_ell_batch():
+    import jax.numpy as jnp
+
+    from surfacenetworks_tpu.data import Buckets, datasets, laplacian_batch
+    from surfacenetworks_tpu.sparse import ops
+
+    samples = datasets.synthetic_normal_dataset(2, 60, seed=5, operator="lap")
+    buckets = Buckets.for_samples(samples)
+    b_auto = laplacian_batch(samples, buckets, fmt="auto")
+    b_ell = laplacian_batch(samples, buckets, fmt="ell")
+    assert isinstance(b_auto.operator, np.ndarray)  # dense chosen
+    x = jnp.asarray(b_ell.inputs)
+    y_dense = ops.dense_bmm(jnp.asarray(b_auto.operator), x)
+    y_ell = ops.spmm(b_ell.operator, x)
+    np.testing.assert_allclose(np.asarray(y_dense), np.asarray(y_ell), rtol=1e-4, atol=1e-4)
