@@ -166,6 +166,19 @@ def laplacian_batch(
     )
 
 
+def _lap_operator_batch(Ls: list, buckets: Buckets, N: int, fmt: str = "auto"):
+    """Stacked Laplacian operator batch in the chosen (or auto) format."""
+    if fmt == "auto":
+        fmt = choose_operator_format(len(Ls), N)
+    if fmt == "dense":
+        dense = np.zeros((len(Ls), N, N), dtype=np.float32)
+        for b, L in enumerate(Ls):
+            Ld = np.asarray(L.todense(), dtype=np.float32)
+            dense[b, : Ld.shape[0], : Ld.shape[1]] = Ld
+        return dense
+    return stack_operators([_fixed_k_operator(L, buckets, N) for L in Ls])
+
+
 def _fixed_k_operator(L: sp.spmatrix, buckets: Buckets, N: int):
     """ELL operator with dataset-fixed slot counts for both directions.
 
@@ -198,6 +211,7 @@ def mnist_batch(
     samples: list[dict],
     buckets: Buckets,
     model: str = "lap",
+    fmt: str = "auto",
 ) -> MeshBatch:
     """Classification batch: inputs = lifted V, targets = int labels
     (mesh_mnist/main.py:79-117)."""
@@ -218,7 +232,7 @@ def mnist_batch(
         ]
         operator = stack_dirac(ops)
     else:
-        operator = stack_operators([_fixed_k_operator(s["L"], buckets, N) for s in samples])
+        operator = _lap_operator_batch([s["L"] for s in samples], buckets, N, fmt)
     return MeshBatch(
         inputs=inputs, targets=targets, mask=mask, operator=operator,
         faces=_pad_faces(samples, buckets), names=[s.get("name") for s in samples],
@@ -229,6 +243,7 @@ def vae_batch(
     samples: list[dict],
     buckets: Buckets,
     model: str = "lap",
+    fmt: str = "auto",
 ) -> MeshBatch:
     """VAE batch: lifted + flat inputs and operators (mesh_mnist/main_vae.py:72-125).
 
@@ -257,10 +272,8 @@ def vae_batch(
             ]
         )
     else:
-        operator = stack_operators([_fixed_k_operator(s["L"], buckets, N) for s in samples])
-        flat_operator = stack_operators(
-            [_fixed_k_operator(s["flat_L"], buckets, N) for s in samples]
-        )
+        operator = _lap_operator_batch([s["L"] for s in samples], buckets, N, fmt)
+        flat_operator = _lap_operator_batch([s["flat_L"] for s in samples], buckets, N, fmt)
     return MeshBatch(
         inputs=inputs, targets=inputs, mask=mask, operator=operator,
         faces=_pad_faces(samples, buckets), names=[s.get("name") for s in samples],
@@ -273,7 +286,7 @@ def arap_batch(
     picks: list[tuple[int, int]],
     buckets: Buckets,
     model: str = "lap",
-    fmt: str = "ell",
+    fmt: str = "auto",
     input_frames: int = 2,
     output_frames: int = 40,
 ) -> MeshBatch:
@@ -308,13 +321,8 @@ def arap_batch(
                 for s in op_samples
             ]
         )
-    elif fmt == "dense":
-        operator = np.zeros((B, N, N), dtype=np.float32)
-        for b, s in enumerate(op_samples):
-            Ld = np.asarray(s["L"].todense(), dtype=np.float32)
-            operator[b, : Ld.shape[0], : Ld.shape[1]] = Ld
     else:
-        operator = stack_operators([_fixed_k_operator(s["L"], buckets, N) for s in op_samples])
+        operator = _lap_operator_batch([s["L"] for s in op_samples], buckets, N, fmt)
     return MeshBatch(
         inputs=inputs, targets=targets, mask=mask, operator=operator,
         faces=_pad_faces(faces_list, buckets),
