@@ -411,13 +411,30 @@ def cascade_batch(
     )
 
 
+def dense_dirac_pair(samples: list[dict], N: int, M: int) -> tuple[np.ndarray, np.ndarray]:
+    """Padded dense Dirac operator pair ``(Di [B,4M,4N], DiA [B,4N,4M])`` —
+    the reference's ``--dense`` Dirac path (as_rigid_as_possible/main.py:132-136).
+    Consumed by the blocks' dense-pair dispatch (nn.blocks.apply_dirac_vf)."""
+    B = len(samples)
+    Di = np.zeros((B, 4 * M, 4 * N), dtype=np.float32)
+    DiA = np.zeros((B, 4 * N, 4 * M), dtype=np.float32)
+    for b, s in enumerate(samples):
+        D, DA = geo.dirac(s["V"], s["F"])
+        Di[b, : D.shape[0], : D.shape[1]] = D.toarray()
+        DiA[b, : DA.shape[0], : DA.shape[1]] = DA.toarray()
+    return Di, DiA
+
+
 def dirac_batch(
     samples: list[dict],
     buckets: Buckets,
     input_key: str = "input",
     target_key: str = "target",
+    fmt: str = "structured",
 ) -> MeshBatch:
-    """Assemble a structured-Dirac batch (coeffs computed here if absent)."""
+    """Assemble a Dirac batch: ``fmt='structured'`` (quaternion coefficient
+    tables, the TPU-native default) or ``'dense'`` (padded dense operator
+    pair, reference --dense parity)."""
     B = len(samples)
     N, M = buckets.n_vertices, buckets.n_faces
     inputs = np.stack([pad_rows(np.asarray(s[input_key], np.float32), N) for s in samples])
@@ -425,15 +442,18 @@ def dirac_batch(
     mask = np.zeros((B, N, 1), dtype=np.float32)
     for b, s in enumerate(samples):
         mask[b, : s["V"].shape[0]] = 1.0
-    ops = []
-    for s in samples:
-        coeffs = s.get("dirac")
-        if coeffs is None:
-            coeffs = native.dirac_coeffs(s["V"], s["F"])
-        ops.append(
-            dirac_from_coeffs(coeffs, n_vertices=N, n_faces=M, max_valence=buckets.max_valence)
-        )
-    operator = stack_dirac(ops)
+    if fmt == "dense":
+        operator = dense_dirac_pair(samples, N, M)
+    else:
+        ops = []
+        for s in samples:
+            coeffs = s.get("dirac")
+            if coeffs is None:
+                coeffs = native.dirac_coeffs(s["V"], s["F"])
+            ops.append(
+                dirac_from_coeffs(coeffs, n_vertices=N, n_faces=M, max_valence=buckets.max_valence)
+            )
+        operator = stack_dirac(ops)
     return MeshBatch(
         inputs=inputs,
         targets=targets,

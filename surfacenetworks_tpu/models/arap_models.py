@@ -15,6 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from surfacenetworks_tpu.nn.blocks import (
+    dirac_num_faces,
     AvgResNet2,
     DirResNet2,
     LapResNet2,
@@ -89,7 +90,7 @@ class DirModel(nn.Module):
     @nn.compact
     def __call__(self, op, mask, inputs):
         batch = inputs.shape[0]
-        m = op.faces.shape[-2]
+        m = dirac_num_faces(op)
         v = GraphConv1x1(3 * IN_FRAMES, WIDTH, None, name="conv1")(inputs)
         f = jnp.zeros((batch, m, WIDTH), dtype=v.dtype)
         for i in range(self.layers):

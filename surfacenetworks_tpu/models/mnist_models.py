@@ -11,7 +11,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from surfacenetworks_tpu.nn.blocks import AvgResNet2, DirResNet2, LapResNet2, MlpResNet2
+from surfacenetworks_tpu.nn.blocks import dirac_num_faces, AvgResNet2, DirResNet2, LapResNet2, MlpResNet2
 from surfacenetworks_tpu.nn.layers import GraphConv1x1, global_average
 
 WIDTH = 64
@@ -77,7 +77,7 @@ class DirModel(nn.Module):
     @nn.compact
     def __call__(self, inputs, op, mask, deterministic: bool = False):
         batch = inputs.shape[0]
-        m = op.faces.shape[-2]
+        m = dirac_num_faces(op)
         v = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
         f = jnp.zeros((batch, m, WIDTH), dtype=v.dtype)
         for i in range(self.layers):

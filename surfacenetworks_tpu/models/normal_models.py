@@ -11,6 +11,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from surfacenetworks_tpu.nn.blocks import (
+    dirac_num_faces,
     AvgResNet2,
     DirResNet2,
     IdResNet2,
@@ -86,7 +87,7 @@ class DirDeepModel(nn.Module):
             m = self.num_faces
         else:
             # structured DiracOperator carries faces [B, M, 3]
-            m = op.faces.shape[-2]
+            m = dirac_num_faces(op)
         v = GraphConv1x1(self.in_features, WIDTH, None, name="conv1")(inputs)
         f = jnp.zeros((batch, m, WIDTH), dtype=v.dtype)
         for i in range(self.layers):
@@ -108,7 +109,7 @@ class DirModelToFace(nn.Module):
     @nn.compact
     def __call__(self, op, mask, inputs):
         batch = inputs.shape[0]
-        m = op.faces.shape[-2]
+        m = dirac_num_faces(op)
         v = GraphConv1x1(self.in_features, WIDTH, None, name="conv1")(inputs)
         f = jnp.zeros((batch, m, WIDTH), dtype=v.dtype)
         for i in range(self.layers):

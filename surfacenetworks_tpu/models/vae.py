@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from surfacenetworks_tpu.nn.blocks import DirResNet2, LapResNet2
+from surfacenetworks_tpu.nn.blocks import dirac_num_faces, DirResNet2, LapResNet2
 from surfacenetworks_tpu.nn.layers import GraphConv1x1, global_average
 
 WIDTH = 128
@@ -96,7 +96,7 @@ class DirEncoder(nn.Module):
     @nn.compact
     def __call__(self, inputs, op, mask):
         batch = inputs.shape[0]
-        m = op.faces.shape[-2]
+        m = dirac_num_faces(op)
         v = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
         f = jnp.zeros((batch, m, WIDTH), dtype=v.dtype)
         for i in range(self.num_layers):
@@ -116,7 +116,7 @@ class DirDecoder(nn.Module):
     @nn.compact
     def __call__(self, inputs, noise, op, mask):
         batch = inputs.shape[0]
-        m = op.faces.shape[-2]
+        m = dirac_num_faces(op)
         v = GraphConv1x1(3, WIDTH, None, name="conv_inputs")(inputs)
         v = v + GraphConv1x1(LATENT, WIDTH, None, name="conv_noise")(noise)
         f = jnp.zeros((batch, m, WIDTH), dtype=v.dtype)

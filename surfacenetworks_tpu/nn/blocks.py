@@ -79,6 +79,14 @@ def apply_dirac_fv(op: Any, f: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(*lead, n4 // 4, c)
 
 
+def dirac_num_faces(op) -> int:
+    """Face count of a Dirac operator: structured table or dense (Di, DiA) pair."""
+    if isinstance(op, DiracOperator):
+        return op.faces.shape[-2]
+    di, _ = op
+    return di.shape[-2] // 4
+
+
 def _bn_mode(bnmode: str | None) -> str | None:
     """Reference convention: bnmode '' -> 'pre'; None -> no norm; other strings
     pass through (and unknown strings disable norm inside GraphConv1x1)."""
