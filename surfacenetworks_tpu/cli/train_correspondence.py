@@ -43,6 +43,8 @@ parser.add_argument("--full-train", action="store_true")
 parser.add_argument("--deser-option", default="auto", choices=["auto", "no", "force"])
 parser.add_argument("--deser-path", default=None)
 parser.add_argument("--num-vertices", type=int, default=7000)
+parser.add_argument("--operator-format", default="ell", choices=["ell", "bsr"],
+                    help="bsr = RCM-reordered MXU block-sparse operators (lap trunks)")
 parser.add_argument("--seed", type=int, default=17)
 config.add_config_flags(parser)
 
@@ -82,15 +84,19 @@ def main(argv=None):
         files = sorted(glob.glob(os.path.join(args.datapath, "*.npz")))
         data = [datasets.load_faust_npz(f) for f in files]
     n_train = len(data) if args.full_train else max(len(data) * 8 // 10, 1)
-    buckets = Buckets.for_samples(data)
-
     model_key = "dirac" if "dir" in args.model else "lap"
+    use_bsr = args.operator_format == "bsr" and model_key == "lap"
+    if use_bsr:
+        from surfacenetworks_tpu.data import rcm_reorder_sample
+
+        data = [rcm_reorder_sample(s) for s in data]
+    buckets = Buckets.for_samples(data, multiple=128 if use_bsr else 8)
     model = SiameseModel(model=args.model, layers=args.layer)
 
     def batch_of(sample):
         s = dict(sample)
         s["input"] = _rotate(np.asarray(s["input"], np.float32), rng_np, args.xz_rotate, args.xy_rotate)
-        return correspondence_batch(s, buckets, model=model_key)
+        return correspondence_batch(s, buckets, model=model_key, fmt="bsr" if use_bsr else "ell")
 
     b0 = batch_of(data[0])
     op_a = (b0.operator, jnp.asarray(b0.mask))

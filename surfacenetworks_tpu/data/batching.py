@@ -85,6 +85,10 @@ def rcm_reorder_sample(sample: dict) -> dict:
             out[key] = val.tocsr()[perm][:, perm].tocsr()
         elif key == "G":
             out[key] = val[perm][:, perm]
+        elif key == "label_inv":
+            # values are scan-vertex indices (template id -> scan vertex,
+            # dense_correspondence/main.py:97-104): remap, don't gather
+            out[key] = inv[val]
         elif isinstance(val, np.ndarray) and val.ndim >= 1 and val.shape[0] == n:
             out[key] = val[perm]
     out["rcm_perm"] = perm
@@ -329,9 +333,15 @@ def arap_batch(
     )
 
 
-def correspondence_batch(sample: dict, buckets: Buckets, model: str = "lap") -> MeshBatch:
+def correspondence_batch(
+    sample: dict, buckets: Buckets, model: str = "lap", fmt: str = "ell"
+) -> MeshBatch:
     """Single-shape batch (B=1) for the siamese trainer
-    (dense_correspondence/main.py:106-191); targets = (G, label, label_inv)."""
+    (dense_correspondence/main.py:106-191); targets = (G, label, label_inv).
+
+    ``fmt='bsr'`` uses the MXU block-sparse operator — callers must RCM-reorder
+    samples first (``rcm_reorder_sample``) and size buckets to a 128 multiple.
+    """
     N = buckets.n_vertices
     n = sample["V"].shape[0]
     inputs = pad_rows(np.asarray(sample["input"], np.float32), N)[None]
@@ -343,6 +353,17 @@ def correspondence_batch(sample: dict, buckets: Buckets, model: str = "lap") -> 
             coeffs = native.dirac_coeffs(sample["V"], sample["F"])
         operator = stack_dirac(
             [dirac_from_coeffs(coeffs, N, buckets.n_faces, buckets.max_valence)]
+        )
+    elif fmt == "bsr":
+        from surfacenetworks_tpu.sparse import bsr_operator_from_scipy, stack_bsr_operators
+
+        operator = stack_bsr_operators(
+            [
+                bsr_operator_from_scipy(
+                    sample["L"], block_size=buckets.bsr_block, k=buckets.bsr_k,
+                    n_rows=N, n_cols=N,
+                )
+            ]
         )
     else:
         operator = stack_operators([_fixed_k_operator(sample["L"], buckets, N)])

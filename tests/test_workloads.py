@@ -334,3 +334,31 @@ def test_dense_dirac_pair_matches_structured():
         lambda p: model.apply(p, tuple(jnp.asarray(a) for a in b_dense.operator), mask, inputs).sum()
     )(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
+
+
+def test_rcm_reorder_preserves_correspondence_semantics():
+    """label/label_inv/G must stay mutually consistent through RCM reorder."""
+    from surfacenetworks_tpu.data import datasets, rcm_reorder_sample
+
+    s = datasets.synthetic_correspondence_dataset(1, n_points=80, seed=9)[0]
+    r = rcm_reorder_sample(dict(s))
+    n = s["V"].shape[0]
+    # label_inv must still invert label: scan vertex of template id t
+    for t in range(0, n, 7):
+        assert r["label"][r["label_inv"][t]] == t
+    # geodesic matrix rows follow the vertices
+    perm = r["rcm_perm"]
+    np.testing.assert_allclose(r["G"], s["G"][perm][:, perm])
+    np.testing.assert_allclose(r["V"], s["V"][perm])
+
+
+def test_correspondence_cli_bsr_smoke(tmp_path):
+    from surfacenetworks_tpu.cli import train_correspondence
+
+    train_correspondence.main(
+        [
+            "--synthetic", "3", "--layer", "2", "--num-epoch", "1",
+            "--num-updates", "2", "--operator-format", "bsr",
+            "--deser-option", "no", "--result-dir", str(tmp_path),
+        ]
+    )
