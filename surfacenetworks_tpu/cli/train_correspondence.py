@@ -45,6 +45,8 @@ parser.add_argument("--deser-path", default=None)
 parser.add_argument("--num-vertices", type=int, default=7000)
 parser.add_argument("--operator-format", default="ell", choices=["ell", "bsr"],
                     help="bsr = RCM-reordered MXU block-sparse operators (lap trunks)")
+parser.add_argument("--intrinsic", action="store_true",
+                    help="use the intrinsic-Delaunay Laplacian (reference lap default, main.py:87)")
 parser.add_argument("--seed", type=int, default=17)
 config.add_config_flags(parser)
 
@@ -84,13 +86,30 @@ def main(argv=None):
         files = sorted(glob.glob(os.path.join(args.datapath, "*.npz")))
         data = [datasets.load_faust_npz(f) for f in files]
     n_train = len(data) if args.full_train else max(len(data) * 8 // 10, 1)
-    model_key = "dirac" if "dir" in args.model else "lap"
+    model_key = "dirac" if "dir" in args.model else ("amp" if "amp" in args.model else "lap")
+    if args.intrinsic and model_key == "lap":
+        from surfacenetworks_tpu.geometry import intrinsic
+
+        for s_ in data:
+            s_["L"] = intrinsic.intrinsic_laplacian(s_["V"], s_["F"])
+    if model_key == "amp":
+        from surfacenetworks_tpu import geometry as geo_
+
+        for s_ in data:
+            s_["L_pyr"] = geo_.amp_pyramid(s_["L"], levels=3)
     use_bsr = args.operator_format == "bsr" and model_key == "lap"
     if use_bsr:
         from surfacenetworks_tpu.data import rcm_reorder_sample
 
         data = [rcm_reorder_sample(s) for s in data]
     buckets = Buckets.for_samples(data, multiple=128 if use_bsr else 8)
+    if model_key == "amp":
+        kmax = max(
+            int(np.diff(Lk.tocsr().indptr).max())
+            for s_ in data
+            for Lk in s_["L_pyr"]
+        )
+        buckets.ell_k = buckets.ell_k_t = max(buckets.ell_k, kmax)
     model = SiameseModel(model=args.model, layers=args.layer)
 
     def batch_of(sample):

@@ -365,6 +365,12 @@ def correspondence_batch(
                 )
             ]
         )
+    elif model == "amp":
+        # squared-Laplacian pyramid: list of batched operators, one per level
+        operator = [
+            stack_operators([_fixed_k_operator(Lk, buckets, N)])
+            for Lk in sample["L_pyr"]
+        ]
     else:
         operator = stack_operators([_fixed_k_operator(sample["L"], buckets, N)])
     return MeshBatch(

@@ -362,3 +362,44 @@ def test_correspondence_cli_bsr_smoke(tmp_path):
             "--deser-option", "no", "--result-dir", str(tmp_path),
         ]
     )
+
+
+def test_amp_pyramid_semantics():
+    """amp pyramid parity with the reference construction
+    (dense_correspondence/main.py:73-84)."""
+    import scipy.sparse as sp_
+
+    from surfacenetworks_tpu import geometry as geo
+    from surfacenetworks_tpu.data import datasets
+
+    s = datasets.synthetic_correspondence_dataset(1, n_points=60, seed=11)[0]
+    L = s["L"].tocsr().astype(np.float32)
+    pyr = geo.amp_pyramid(L, levels=3)
+    assert len(pyr) == 3
+    idp = L.indptr
+    d = 1.0 / np.sqrt(np.maximum(idp[1:] - idp[:-1] - 1, 0))
+    d[~np.isfinite(d)] = 0.0
+    Dsq = sp_.diags(d).astype(np.float32)
+    L0 = (Dsq @ L @ Dsq).astype(np.float32)
+    np.testing.assert_allclose(pyr[0].toarray(), L0.toarray(), rtol=1e-5, atol=1e-6)
+    L1 = (Dsq @ L0 @ Dsq).astype(np.float32)
+    L1 = (L1 @ L1).tocsr()
+    np.testing.assert_allclose(pyr[1].toarray(), L1.toarray(), rtol=1e-4, atol=1e-5)
+
+
+def test_correspondence_cli_amp_and_intrinsic(tmp_path):
+    from surfacenetworks_tpu.cli import train_correspondence
+
+    train_correspondence.main(
+        [
+            "--synthetic", "3", "--model", "amp", "--layer", "2", "--num-epoch", "1",
+            "--num-updates", "2", "--deser-option", "no", "--result-dir", str(tmp_path / "amp"),
+        ]
+    )
+    train_correspondence.main(
+        [
+            "--synthetic", "3", "--model", "lap", "--intrinsic", "--layer", "2",
+            "--num-epoch", "1", "--num-updates", "2", "--deser-option", "no",
+            "--result-dir", str(tmp_path / "intr"),
+        ]
+    )
