@@ -26,7 +26,7 @@ from surfacenetworks_tpu.data import Buckets, datasets, dirac_batch, laplacian_b
 from surfacenetworks_tpu.train import TrainState, checkpoint, losses, optim
 
 parser = argparse.ArgumentParser(description="Normal Predictor (TPU)")
-parser.add_argument("--model", default="lap", help="lap | dirac | avg | mlp | id")
+parser.add_argument("--model", default="lap", help="lap | dirac | avg | mlp | id | cas")
 parser.add_argument("--layer", type=int, default=15)
 parser.add_argument("--batch-size", type=int, default=1)
 parser.add_argument("--num-epoch", type=int, default=500)
@@ -43,6 +43,7 @@ parser.add_argument("--uniform-mesh", action="store_true")
 parser.add_argument("--additional-opt", default=[], action="append",
                     choices=["hack1", "hack0", "amsgrad", "intrinsic", ""])
 parser.add_argument("--operator-format", default="auto", choices=["auto", "ell", "bsr", "dense"])
+parser.add_argument("--cascade-levels", type=int, default=4, help="pyramid depth for --model cas")
 parser.add_argument("--result-prefix", default="debug")
 parser.add_argument("--result-dir", default="results/normal_predict")
 parser.add_argument("--deser", default=None)
@@ -56,6 +57,10 @@ config.add_config_flags(parser)
 
 
 def build_model(args):
+    if args.model == "cas":
+        from surfacenetworks_tpu.models.cascade import EfficientCascade
+
+        return EfficientCascade(3, 3, cascade_levels=args.cascade_levels)
     if "avg" in args.model:
         return zoo.AvgModel(3, 3, args.layer)
     if args.model == "mlp":
@@ -120,11 +125,19 @@ def main(argv=None):
 
     all_samples = train_samples + test_samples
     buckets = Buckets.for_samples(all_samples, multiple=128 if args.operator_format == "bsr" else 8)
+    if args.model == "cas":
+        # fine bucket must be divisible by 2**(levels-1) for the pool chain
+        from surfacenetworks_tpu.data import cascade_batch
 
-    def make_batch(samples):
-        if is_dirac:
-            return dirac_batch(samples, buckets)
-        return laplacian_batch(samples, buckets, fmt=args.operator_format)
+        n_bucket = round_up(buckets.n_vertices, 2 ** (args.cascade_levels - 1))
+
+        def make_batch(samples):
+            return cascade_batch(samples, args.cascade_levels, n_bucket)
+    else:
+        def make_batch(samples):
+            if is_dirac:
+                return dirac_batch(samples, buckets)
+            return laplacian_batch(samples, buckets, fmt=args.operator_format)
 
     model = build_model(args)
     init_batch = make_batch(train_samples[: args.batch_size] or all_samples[: args.batch_size])

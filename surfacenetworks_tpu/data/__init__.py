@@ -6,6 +6,7 @@ from surfacenetworks_tpu.data.batching import (
     arap_batch,
     correspondence_batch,
     dirac_batch,
+    cascade_batch,
     choose_operator_format,
     laplacian_batch,
     mnist_batch,
@@ -23,6 +24,7 @@ __all__ = [
     "correspondence_batch",
     "datasets",
     "dirac_batch",
+    "cascade_batch",
     "choose_operator_format",
     "laplacian_batch",
     "mnist_batch",

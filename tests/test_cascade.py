@@ -124,3 +124,14 @@ def test_lap_mat_model():
     out = model.apply({"params": params}, (batch.operator, mass), mask, inputs)
     assert out.shape == (2, NB, 2)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_cascade_cli_smoke():
+    from surfacenetworks_tpu.cli import train_normal
+
+    train_normal.main(
+        [
+            "--synthetic", "4", "--model", "cas", "--cascade-levels", "3",
+            "--batch-size", "2", "--num-epoch", "1", "--num-updates", "2", "--debug",
+        ]
+    )
