@@ -203,10 +203,14 @@ def laplacian_ell_operator(
     else:
         raise ValueError(f"unknown convention {convention!r}")
     if arrays is not None:
+        from surfacenetworks_tpu.sparse.ell import _ell_window
+
         fc, fv, bc, bv = arrays
         return EllOperator(
-            fwd=EllMatrix(cols=fc, vals=fv, n_cols=n_rows),
-            bwd=EllMatrix(cols=bc, vals=bv, n_cols=n_rows),
+            fwd=EllMatrix(cols=fc, vals=fv, n_cols=n_rows,
+                          window=_ell_window(fc, fv, n_rows)),
+            bwd=EllMatrix(cols=bc, vals=bv, n_cols=n_rows,
+                          window=_ell_window(bc, bv, n_rows)),
         )
     # NumPy fallback
     from surfacenetworks_tpu.geometry import mesh_ops
@@ -283,9 +287,13 @@ def ell_operator_from_csr(csr, n_rows: int, k: int, k_t: int):
     )
     if rc:
         raise ValueError(f"ELL k too small: need {rc}")
+    from surfacenetworks_tpu.sparse.ell import _ell_window
+
     return EllOperator(
-        fwd=EllMatrix(cols=cols, vals=vals, n_cols=n_rows),
-        bwd=EllMatrix(cols=t_cols, vals=t_vals, n_cols=n_rows),
+        fwd=EllMatrix(cols=cols, vals=vals, n_cols=n_rows,
+                      window=_ell_window(cols, vals, n_rows)),
+        bwd=EllMatrix(cols=t_cols, vals=t_vals, n_cols=n_rows,
+                      window=_ell_window(t_cols, t_vals, n_rows)),
     )
 
 

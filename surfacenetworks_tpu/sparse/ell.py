@@ -51,6 +51,10 @@ class EllMatrix:
     cols: Any  # int32 [..., R, K]
     vals: Any  # float32 [..., R, K]
     n_cols: int = struct.field(pytree_node=False)
+    # Static banded-window bound for the Pallas kernel: for every aligned
+    # 128-row tile, all nonzero columns lie in [floor(min/8)*8, base+window).
+    # 0 = unknown (hand-built matrix) -> the Pallas path falls back to XLA.
+    window: int = struct.field(pytree_node=False, default=0)
 
     @property
     def n_rows(self) -> int:
@@ -97,6 +101,32 @@ class DiracOperator:
 # ---------------------------------------------------------------------------
 
 
+def _ell_window(cols: np.ndarray, vals: np.ndarray, n_cols: int, tr: int = 128) -> int:
+    """Banded-window bound for the Pallas ELL kernel (host-side, pack time).
+
+    For each aligned ``tr``-row tile, the window is measured from the tile's
+    smallest nonzero column rounded down to a sublane multiple of 8; the
+    returned value (rounded up to a lane multiple of 128, capped at
+    ``n_cols``) covers every tile.  Windows computed at ``tr=128`` remain
+    valid for any runtime tile size that divides 128, because a sub-tile's
+    base can only be >= its enclosing tile's base.
+    """
+    R, K = cols.shape
+    if R == 0 or K == 0:
+        return 128
+    T = -(-R // tr)
+    pad = T * tr - R
+    c = np.pad(cols, ((0, pad), (0, 0))).reshape(T, tr * K)
+    nz = np.pad(vals, ((0, pad), (0, 0))).reshape(T, tr * K) != 0
+    if not nz.any():
+        return 128
+    mins = np.where(nz, c, np.iinfo(np.int32).max).min(axis=1)
+    maxs = np.where(nz, c, -1).max(axis=1)
+    has = nz.any(axis=1)
+    spans = np.where(has, maxs - (mins // 8) * 8 + 1, 1)
+    return int(min(_round_up(int(spans.max()), 128), n_cols))
+
+
 def ell_from_scipy(
     M: sp.spmatrix,
     k: int | None = None,
@@ -130,7 +160,7 @@ def ell_from_scipy(
     slot = np.arange(nnz) - np.repeat(csr.indptr[:-1], deg)
     cols[row_of, slot] = csr.indices
     vals[row_of, slot] = csr.data
-    return EllMatrix(cols=cols, vals=vals, n_cols=C)
+    return EllMatrix(cols=cols, vals=vals, n_cols=C, window=_ell_window(cols, vals, C))
 
 
 def operator_from_scipy(
@@ -161,8 +191,18 @@ def stack_operators(ops: list[EllOperator]) -> EllOperator:
     bwd_cols = np.stack([o.bwd.cols for o in ops])
     bwd_vals = np.stack([o.bwd.vals for o in ops])
     return EllOperator(
-        fwd=EllMatrix(cols=fwd_cols, vals=fwd_vals, n_cols=ops[0].fwd.n_cols),
-        bwd=EllMatrix(cols=bwd_cols, vals=bwd_vals, n_cols=ops[0].bwd.n_cols),
+        fwd=EllMatrix(
+            cols=fwd_cols,
+            vals=fwd_vals,
+            n_cols=ops[0].fwd.n_cols,
+            window=max(o.fwd.window for o in ops),
+        ),
+        bwd=EllMatrix(
+            cols=bwd_cols,
+            vals=bwd_vals,
+            n_cols=ops[0].bwd.n_cols,
+            window=max(o.bwd.window for o in ops),
+        ),
     )
 
 

@@ -47,12 +47,14 @@ def _ell_matmul_xla(cols: jnp.ndarray, vals: jnp.ndarray, x: jnp.ndarray) -> jnp
     return jnp.sum(vals[..., None] * gathered, axis=-2)
 
 
-def _ell_matmul(cols, vals, x, impl: str | None = None):
+def _ell_matmul(cols, vals, x, window: int = 0, impl: str | None = None):
     impl = impl or _DEFAULT_IMPL
-    if impl == "pallas":
+    if impl == "pallas" and window > 0:
         from surfacenetworks_tpu.sparse import pallas_kernels
 
-        return pallas_kernels.ell_matmul(cols, vals, x)
+        return pallas_kernels.ell_matmul(cols, vals, x, window)
+    # window == 0 means no banded bound is known (hand-built matrix):
+    # the gather formulation is the only safe path.
     return _ell_matmul_xla(cols, vals, x)
 
 
@@ -76,9 +78,10 @@ def spmm(op: EllOperator, x: jnp.ndarray) -> jnp.ndarray:
 
 def _spmm_fwd_only(m: EllMatrix, x: jnp.ndarray) -> jnp.ndarray:
     if m.cols.ndim == 2:
-        return _ell_matmul(m.cols, m.vals, x)
+        return _ell_matmul(m.cols, m.vals, x, window=m.window)
     assert m.cols.ndim == 3 and x.ndim == 3, (m.cols.shape, x.shape)
-    return jax.vmap(_ell_matmul)(m.cols, m.vals, x)
+    fn = functools.partial(_ell_matmul, window=m.window)
+    return jax.vmap(fn)(m.cols, m.vals, x)
 
 
 def _spmm_vjp_fwd(op, x):

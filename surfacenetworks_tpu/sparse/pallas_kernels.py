@@ -82,3 +82,76 @@ def _bsr_matmul_call(block_cols, block_vals, x, interpret=False):
 def bsr_matmul(block_cols, block_vals, x):
     """Block-ELL SpMM via an explicit Pallas kernel (shapes pre-blocked)."""
     return _bsr_matmul_call(block_cols, block_vals, x, interpret=not _on_tpu())
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+def _ell_matmul_call(cols, vals, x, window, interpret=False):
+    """Windowed scalar-ELL SpMM: out[r] = sum_k vals[r,k] * x[cols[r,k]].
+
+    TPU-native design (no gather): operators are RCM-reordered at pack time
+    (sparse/bsr.py), so every aligned 128-row tile touches only a narrow
+    *band* of columns — ``window`` (static, measured host-side by
+    ``ell._ell_window``) bounds that band for all tiles.  Each grid program
+    (1) computes its tile's band base from the column tile (cheap VPU min),
+    (2) slices ``[window, C]`` of the VMEM-resident ``x``, (3) densifies its
+    ``[128, K]`` ELL tile into a ``[128, window]`` banded-dense tile via K
+    vectorized compare-selects against a lane iota, and (4) issues one MXU
+    matmul ``[128, window] @ [window, C]``.  Padding slots (col=0, val=0)
+    contribute exact zeros in the densify step.
+    """
+    R, K = cols.shape
+    N, C = x.shape
+    TR = 128
+    Rp = _round_up(R, TR)
+    if Rp != R:
+        cols = jnp.pad(cols, ((0, Rp - R), (0, 0)))
+        vals = jnp.pad(vals, ((0, Rp - R), (0, 0)))
+    W = min(window, N)
+    T = Rp // TR
+
+    def kernel(cols_ref, vals_ref, x_ref, out_ref):
+        cols_t = cols_ref[...]
+        vals_t = vals_ref[...]
+        base = jnp.min(jnp.where(vals_t != 0.0, cols_t, N))
+        base = jnp.clip((base // 8) * 8, 0, N - W)
+        xs = x_ref[pl.ds(base, W), :]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TR, W), 1)
+        rel = cols_t - base
+        acc = jnp.zeros((TR, W), jnp.float32)
+        for k in range(K):
+            acc = acc + jnp.where(rel[:, k][:, None] == iota, vals_t[:, k][:, None], 0.0)
+        out_ref[...] = jnp.dot(acc, xs, preferred_element_type=jnp.float32).astype(
+            out_ref.dtype
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Rp, C), x.dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((TR, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x fully resident
+        ],
+        out_specs=pl.BlockSpec((TR, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Rp * W * C,
+            bytes_accessed=(cols.size + vals.size) * 4 + x.size * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(cols, vals, x)
+    return out[:R] if Rp != R else out
+
+
+def ell_matmul(cols, vals, x, window):
+    """Scalar-ELL SpMM via the windowed Pallas kernel.
+
+    ``window`` must be a valid banded bound (``EllMatrix.window``); callers
+    pass ``window=0`` matrices through the XLA path instead (sparse/ops.py).
+    """
+    return _ell_matmul_call(cols, vals, x, int(window), interpret=not _on_tpu())
