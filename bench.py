@@ -76,6 +76,27 @@ def _per_apply(fn, args):
     return diff / (N_LONG - N_SHORT)
 
 
+def _build_dirac_workload(n_points=7000, channels=128):
+    """Dirac-apply workload (BASELINE primary metric names Dirac apply):
+    one Di (vertices->faces) + one DiA (faces->vertices) per application —
+    the DirResNet2 round trip (utils/utils_pt.py:199-215)."""
+    from surfacenetworks_tpu import geometry as geo
+    from surfacenetworks_tpu import sparse as sps
+    from surfacenetworks_tpu.data import datasets, round_up
+
+    rng = np.random.default_rng(0)
+    V, F = datasets.random_blob_mesh(rng, n_points)
+    coeffs = geo.dirac_coeffs(V, F)
+    n_v = round_up(V.shape[0], 128)
+    n_f = round_up(F.shape[0], 128)
+    dop = sps.dirac_from_coeffs(coeffs, n_vertices=n_v, n_faces=n_f)
+    # nnz of Di as a scalar 4F x 4V matrix: 3 quaternion blocks per face row,
+    # 16 scalar entries each; DiA mirrors it.
+    nnz_scalar = 2 * F.shape[0] * 3 * 16
+    v = rng.normal(size=(n_v, channels)).astype(np.float32)
+    return dop, nnz_scalar, v
+
+
 def _train_step_time(n_meshes=4, n_points=1000, layers=15, iters=8):
     """Per-step wall time of the flagship jit'd training step (LapDeepModel,
     15 layers / 128-d — the normal-predict default, run_normal.py:9-29).
@@ -139,6 +160,16 @@ def main():
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x))
 
+    from surfacenetworks_tpu.sparse import pallas_kernels
+
+    @jax.jit
+    def ellp_iter(op, x, n):
+        def body(_, y):
+            m = op.fwd
+            return pallas_kernels.ell_matmul(m.cols, m.vals, y, m.window) * 0.2 + x * 0.01
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+
     @jax.jit
     def bsr_iter(bop, x, n):
         def body(_, y):
@@ -156,18 +187,32 @@ def main():
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x))
 
+    dop, dirac_nnz, vx = _build_dirac_workload()
+
+    @jax.jit
+    def dirac_iter(dop, v, n):
+        def body(_, y):
+            f = sps.dirac_apply_vf(dop, y)
+            return sps.dirac_apply_fv(dop, f) * 0.2 + v * 0.01
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, v))
+
     xj = jnp.asarray(x)
     # operators live on device before timing (they are step-invariant inputs
     # in training too; only activations stream per step)
     op = jax.device_put(op)
     bop = jax.device_put(bop)
+    dop = jax.device_put(dop)
     t_ell = _per_apply(ell_iter, (op, xj))
+    t_ellp = _per_apply(ellp_iter, (op, xj))
     t_bsr = _per_apply(bsr_iter, (bop, xj))
     t_dense = _per_apply(dense_iter, (jnp.asarray(dense_pad), xj))
+    t_dirac = _per_apply(dirac_iter, (dop, jnp.asarray(vx)))
     t_step = _train_step_time()
 
     best_name, best_t = min(
-        [("ell_gather", t_ell), ("bsr_mxu", t_bsr)], key=lambda kv: kv[1]
+        [("ell_gather", t_ell), ("ell_pallas", t_ellp), ("bsr_mxu", t_bsr)],
+        key=lambda kv: kv[1],
     )
     edges_per_s = nnz / best_t
     device = jax.devices()[0]
@@ -184,8 +229,11 @@ def main():
                     "channels": 128,
                     "best_path": best_name,
                     "ell_us_per_apply": round(t_ell * 1e6, 3),
+                    "ell_pallas_us_per_apply": round(t_ellp * 1e6, 3),
                     "bsr_us_per_apply": round(t_bsr * 1e6, 3),
                     "dense_us_per_apply": round(t_dense * 1e6, 3),
+                    "dirac_roundtrip_us_per_apply": round(t_dirac * 1e6, 3),
+                    "dirac_edges_per_s": round(dirac_nnz / t_dirac, 1),
                     "train_step_ms_b4_n1000_l15": round(t_step * 1e3, 3),
                     "device": str(device),
                 },

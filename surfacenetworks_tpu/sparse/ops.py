@@ -146,12 +146,41 @@ def from_quaternion_layout(x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _dirac_gather_apply(idx, q, xq):
-    """out[r] = sum_s q[r,s] (x) xq[idx[r,s]];  idx [R,S], q [R,S,4],
-    xq [N,4,C] -> [R,4,C]."""
-    gathered = jnp.take(xq, idx, axis=0)  # [R, S, 4, C]
-    prods = quaternion_mul(q, gathered)  # [R, S, 4, C]
-    return jnp.sum(prods, axis=-3)
+def _dirac_gather_apply(idx, q, x):
+    """out[r] = sum_s q[r,s] (x) x[idx[r,s]];  idx [R,S], q [R,S,4],
+    x [N,C] (C % 4 == 0, quaternion component = leading split of the channel
+    axis) -> [R,C].
+
+    TPU layout notes (measured on v5e, 7000-vertex mesh, C=128):
+
+    * the gather stays in the flat ``[N, C]`` layout so each gathered row is
+      a full 128-lane vector; the Hamilton product is applied via *static
+      lane slices* of width C/4.  Reshaping to ``[N, 4, C/4]`` first (the
+      reference's ``view(B*N*4, C/4)``, utils/utils_pt.py:201) puts
+      (4, C/4) on the (sublane, lane) axes — an 8x tile-padding waste that
+      measured ~5x slower.
+    * the slot axis S is *unrolled* (S is 3 for faces, max-valence ~12 for
+      vertices): per-slot 2-D ``[R, C]`` gathers + accumulate beat one 3-D
+      ``[R, S, C]`` gather by a further 4.6x — XLA keeps the whole
+      per-slot chain in registers instead of materializing the 3-D
+      intermediate."""
+    c4 = x.shape[-1] // 4
+    acc = None
+    for s in range(idx.shape[1]):
+        g = jnp.take(x, idx[:, s], axis=0)  # [R, C]
+        xw, xx, xy, xz = (g[..., i * c4 : (i + 1) * c4] for i in range(4))
+        a, b, c, d = (q[:, s, i : i + 1] for i in range(4))
+        o = jnp.concatenate(
+            [
+                a * xw - b * xx - c * xy - d * xz,
+                a * xx + b * xw + c * xz - d * xy,
+                a * xy - b * xz + c * xw + d * xx,
+                a * xz + b * xy - c * xx + d * xw,
+            ],
+            axis=-1,
+        )
+        acc = o if acc is None else acc + o
+    return acc
 
 
 @jax.custom_vjp
@@ -165,12 +194,10 @@ def dirac_apply_vf(op: DiracOperator, v: jnp.ndarray) -> jnp.ndarray:
 
 
 def _dirac_vf_raw(faces, q_fv, v):
-    vq = to_quaternion_layout(v)
+    assert v.shape[-1] % 4 == 0, f"channels {v.shape[-1]} not divisible by 4"
     if faces.ndim == 2:
-        out = _dirac_gather_apply(faces, q_fv, vq)
-    else:
-        out = jax.vmap(_dirac_gather_apply)(faces, q_fv, vq)
-    return from_quaternion_layout(out)
+        return _dirac_gather_apply(faces, q_fv, v)
+    return jax.vmap(_dirac_gather_apply)(faces, q_fv, v)
 
 
 def _dirac_vf_fwd(op, v):
@@ -179,13 +206,12 @@ def _dirac_vf_fwd(op, v):
 
 def _dirac_vf_bwd(op, g):
     # v_bar[j] = sum over incident (face,corner): conj(q_fv) (x) g[face]
-    gq = to_quaternion_layout(g)
     if op.vf_face.ndim == 2:
-        out = _dirac_gather_apply(op.vf_face, op.q_bwd_v, gq)
+        out = _dirac_gather_apply(op.vf_face, op.q_bwd_v, g)
     else:
-        out = jax.vmap(_dirac_gather_apply)(op.vf_face, op.q_bwd_v, gq)
+        out = jax.vmap(_dirac_gather_apply)(op.vf_face, op.q_bwd_v, g)
     op_bar = jax.tree_util.tree_map(jnp.zeros_like, op)
-    return (op_bar, from_quaternion_layout(out))
+    return (op_bar, out)
 
 
 dirac_apply_vf.defvjp(_dirac_vf_fwd, _dirac_vf_bwd)
@@ -201,12 +227,10 @@ def dirac_apply_fv(op: DiracOperator, f: jnp.ndarray) -> jnp.ndarray:
 
 
 def _dirac_fv_raw(vf_face, q_vf, f):
-    fq = to_quaternion_layout(f)
+    assert f.shape[-1] % 4 == 0, f"channels {f.shape[-1]} not divisible by 4"
     if vf_face.ndim == 2:
-        out = _dirac_gather_apply(vf_face, q_vf, fq)
-    else:
-        out = jax.vmap(_dirac_gather_apply)(vf_face, q_vf, fq)
-    return from_quaternion_layout(out)
+        return _dirac_gather_apply(vf_face, q_vf, f)
+    return jax.vmap(_dirac_gather_apply)(vf_face, q_vf, f)
 
 
 def _dirac_fv_fwd(op, f):
@@ -215,13 +239,12 @@ def _dirac_fv_fwd(op, f):
 
 def _dirac_fv_bwd(op, g):
     # f_bar[i] = sum_c conj(q_vf at (F[i,c], slot)) (x) g[F[i,c]]
-    gq = to_quaternion_layout(g)
     if op.faces.ndim == 2:
-        out = _dirac_gather_apply(op.faces, op.q_bwd_f, gq)
+        out = _dirac_gather_apply(op.faces, op.q_bwd_f, g)
     else:
-        out = jax.vmap(_dirac_gather_apply)(op.faces, op.q_bwd_f, gq)
+        out = jax.vmap(_dirac_gather_apply)(op.faces, op.q_bwd_f, g)
     op_bar = jax.tree_util.tree_map(jnp.zeros_like, op)
-    return (op_bar, from_quaternion_layout(out))
+    return (op_bar, out)
 
 
 dirac_apply_fv.defvjp(_dirac_fv_fwd, _dirac_fv_bwd)
