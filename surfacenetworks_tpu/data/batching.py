@@ -18,6 +18,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from surfacenetworks_tpu import geometry as geo
+from surfacenetworks_tpu import native
 from surfacenetworks_tpu.sparse import dirac_from_coeffs, stack_dirac, stack_operators
 
 
@@ -189,7 +190,6 @@ def _fixed_k_operator(L: sp.spmatrix, buckets: Buckets, N: int):
     Uses the native one-pass CSR->(fwd, transpose) packer when the C++
     runtime is built; NumPy/scipy otherwise (identical output, pinned by
     tests/test_native.py)."""
-    from surfacenetworks_tpu import native
     from surfacenetworks_tpu.sparse import EllOperator, ell_from_scipy
 
     csr = L.tocsr().astype(np.float32)
@@ -316,13 +316,14 @@ def arap_batch(
         op_samples.append(op_frame)
         faces_list.append({"F": seq[0]["F"], "V": seq[0]["V"]})
     if model == "dirac":
+        coeffs_list = [
+            s["dirac"] if s.get("dirac") is not None else native.dirac_coeffs(s["V"], s["F"])
+            for s in op_samples
+        ]
         operator = stack_dirac(
             [
-                dirac_from_coeffs(
-                    s.get("dirac") or native.dirac_coeffs(s["V"], s["F"]),
-                    N, buckets.n_faces, buckets.max_valence,
-                )
-                for s in op_samples
+                dirac_from_coeffs(c, N, buckets.n_faces, buckets.max_valence)
+                for c in coeffs_list
             ]
         )
     else:

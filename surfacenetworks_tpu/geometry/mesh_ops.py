@@ -73,12 +73,9 @@ def dist_matrix(V: np.ndarray, F: np.ndarray) -> sp.csr_matrix:
     idx_b = np.tile(F, (1, 3)).reshape(-1)  # i j k i j k i j k per face
     d = np.linalg.norm(V[idx_a] - V[idx_b], axis=1)
     n = V.shape[0]
-    W = sp.coo_matrix((d, (idx_a, idx_b)), shape=(n, n))
-    # duplicate entries: the reference assigns (last write wins) but all
-    # duplicates carry the same distance value, so summing would be wrong and
-    # max/mean equivalent; use the canonical value via dok-free dedup:
-    W.sum_duplicates()
-    # after sum_duplicates duplicates were *summed*; rebuild with unique pairs
+    # duplicate (i, j) pairs (shared edges) all carry the same distance, so
+    # COO's summing semantics would be wrong — keep one entry per unique pair
+    # (the reference assigns into a dense matrix, last write wins).
     pairs = np.stack([idx_a, idx_b], axis=1)
     uniq, first = np.unique(pairs, axis=0, return_index=True)
     W = sp.coo_matrix((d[first], (uniq[:, 0], uniq[:, 1])), shape=(n, n))

@@ -190,18 +190,27 @@ def stack_operators(ops: list[EllOperator]) -> EllOperator:
     fwd_vals = np.stack([o.fwd.vals for o in ops])
     bwd_cols = np.stack([o.bwd.cols for o in ops])
     bwd_vals = np.stack([o.bwd.vals for o in ops])
+
+    def merged_window(windows):
+        # window=0 means "no banded bound known" — if ANY member lacks a
+        # bound the batch has none either (a positive max() would run the
+        # Pallas kernel with a bound never verified for that member and
+        # silently drop its out-of-window nonzeros).
+        ws = list(windows)
+        return 0 if any(w == 0 for w in ws) else max(ws)
+
     return EllOperator(
         fwd=EllMatrix(
             cols=fwd_cols,
             vals=fwd_vals,
             n_cols=ops[0].fwd.n_cols,
-            window=max(o.fwd.window for o in ops),
+            window=merged_window(o.fwd.window for o in ops),
         ),
         bwd=EllMatrix(
             cols=bwd_cols,
             vals=bwd_vals,
             n_cols=ops[0].bwd.n_cols,
-            window=max(o.bwd.window for o in ops),
+            window=merged_window(o.bwd.window for o in ops),
         ),
     )
 

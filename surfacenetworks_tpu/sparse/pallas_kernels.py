@@ -124,9 +124,16 @@ def _ell_matmul_call(cols, vals, x, window, interpret=False):
         acc = jnp.zeros((TR, W), jnp.float32)
         for k in range(K):
             acc = acc + jnp.where(rel[:, k][:, None] == iota, vals_t[:, k][:, None], 0.0)
-        out_ref[...] = jnp.dot(acc, xs, preferred_element_type=jnp.float32).astype(
-            out_ref.dtype
-        )
+        # HIGHEST keeps the fp32 mantissa through the MXU (bf16x3 passes):
+        # default precision rounds inputs to bf16 (~2e-3 rel error vs the
+        # fp32 gather path).  The kernel is densify/bandwidth-bound at these
+        # window sizes, so the extra passes are not on the critical path.
+        out_ref[...] = jnp.dot(
+            acc,
+            xs,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(out_ref.dtype)
 
     out = pl.pallas_call(
         kernel,
@@ -154,4 +161,9 @@ def ell_matmul(cols, vals, x, window):
     ``window`` must be a valid banded bound (``EllMatrix.window``); callers
     pass ``window=0`` matrices through the XLA path instead (sparse/ops.py).
     """
+    if int(window) <= 0:
+        raise ValueError(
+            "ell_matmul requires a positive banded window bound; window=0 "
+            "operators (no verified bound) must use the XLA gather path"
+        )
     return _ell_matmul_call(cols, vals, x, int(window), interpret=not _on_tpu())
