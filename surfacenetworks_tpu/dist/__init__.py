@@ -11,13 +11,21 @@ from surfacenetworks_tpu.dist.data_parallel import (
     replicate,
     shard_batch,
 )
-from surfacenetworks_tpu.dist import edge_partition
+from surfacenetworks_tpu.dist import edge_partition, graph_parallel
 from surfacenetworks_tpu.dist.edge_partition import (
     PartitionedOperator,
     make_partitioned_spmm,
     partition_operator,
+    partitioned_spmm,
     shard_partitioned,
     shard_rows,
+    stack_partitioned,
+    suggest_halo,
+)
+from surfacenetworks_tpu.dist.graph_parallel import (
+    make_graph_sharded_apply,
+    partition_batch_operator,
+    place_graph_batch,
 )
 
 __all__ = [

@@ -22,6 +22,7 @@ a batched ``EllOperator``, a dense ``[B, N, N]`` array (the reference's
 
 from __future__ import annotations
 
+import sys
 from typing import Any, Callable
 
 import flax.linen as nn
@@ -38,12 +39,27 @@ from surfacenetworks_tpu.sparse.ops import (
 )
 
 
+def _edge_partition_module():
+    # A PartitionedOperator instance can only exist if its module is already
+    # imported; checking sys.modules keeps nn free of a hard dist dependency.
+    return sys.modules.get("surfacenetworks_tpu.dist.edge_partition")
+
+
 def apply_operator(op: Any, x: jnp.ndarray) -> jnp.ndarray:
-    """Dispatch ``L @ x`` over the supported operator representations."""
+    """Dispatch ``L @ x`` over the supported operator representations.
+
+    ``PartitionedOperator`` (edge-partitioned row shards) dispatches to the
+    halo-exchange SpMM — valid only inside a graph-sharded shard_map body
+    (``dist.graph_parallel.make_graph_sharded_apply``), where ``x`` is the
+    local row shard.
+    """
     if isinstance(op, EllOperator):
         return spmm(op, x)
     if isinstance(op, BsrOperator):
         return bsr_spmm(op, x)
+    ep = _edge_partition_module()
+    if ep is not None and isinstance(op, ep.PartitionedOperator):
+        return ep.partitioned_spmm(op, x)
     if callable(op) and not isinstance(op, jnp.ndarray):
         return op(x)
     return dense_bmm(op, x)

@@ -22,13 +22,24 @@ jit/pjit-friendly with no mutable state.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+from surfacenetworks_tpu import parallel_context
 
 
 def global_average(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Masked mean over the vertex axis, keepdim. ``x [B,N,C]``, ``mask [B,N,1]``."""
+    """Masked mean over the vertex axis, keepdim. ``x [B,N,C]``, ``mask [B,N,1]``.
+
+    Inside a graph-sharded body (``parallel_context.sharded_axes``) the vertex
+    axis is a device shard; the masked sums are psummed over that mesh axis so
+    every shard sees the mesh-global average.
+    """
     num = jnp.sum(x * mask, axis=-2, keepdims=True)
     den = jnp.sum(mask * jnp.ones_like(x), axis=-2, keepdims=True)
+    axis = parallel_context.vertex_reduction_axis()
+    if axis is not None:
+        num, den = jax.lax.psum((num, den), axis)
     return num / den
 
 
@@ -49,7 +60,24 @@ class GraphBatchNorm(nn.Module):
         gamma = self.param("scale", nn.initializers.ones, (self.features,))
         beta = self.param("bias", nn.initializers.zeros, (self.features,))
         axes = tuple(range(x.ndim - 1))
-        if self.masked and mask is not None:
+        psum_axes = parallel_context.reduction_axes_for_stats()
+        if psum_axes:
+            # graph-/batch-sharded body: statistics are over the GLOBAL
+            # (batch x vertex) rows, exactly as the unsharded reference BN.
+            # Two-pass (mean, then squared deviations) — the single-pass
+            # E[x^2]-E[x]^2 form loses enough fp32 precision at post-Dense
+            # activation scales to break per-layer parity.
+            if self.masked and mask is not None:
+                w = mask * jnp.ones_like(x)
+            else:
+                w = jnp.ones_like(x)
+            cnt, s1 = jax.lax.psum(
+                (jnp.sum(w, axis=axes), jnp.sum(x * w, axis=axes)), psum_axes
+            )
+            denom = jnp.maximum(cnt, 1.0)
+            mean = s1 / denom
+            var = jax.lax.psum(jnp.sum(w * (x - mean) ** 2, axis=axes), psum_axes) / denom
+        elif self.masked and mask is not None:
             w = mask * jnp.ones_like(x)
             denom = jnp.maximum(jnp.sum(w, axis=axes), 1.0)
             mean = jnp.sum(x * w, axis=axes) / denom
