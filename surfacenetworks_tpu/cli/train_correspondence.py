@@ -147,6 +147,21 @@ def main(argv=None):
         (loss, _), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
         return state.apply_gradients(grads), loss
 
+    @jax.jit
+    def eval_step(params, opx, maskx, inx, opy, masky, iny, GAB, lA, lB, liB, GB):
+        out = model.apply({"params": params}, (opx, maskx), (opy, masky), inx, iny)
+        logits = out[0]
+        metrics = losses.corr_accuracy_metrics(
+            logits[0] if logits.ndim == 3 else logits,
+            lA, lB, liB, GB, maskx[0, :, 0], masky[0, :, 0],
+        )
+        return loss_fn(logits, GAB), metrics
+
+    def _pad_labels(l, N):
+        out = np.zeros(N, np.int32)
+        out[: l.shape[0]] = l
+        return jnp.asarray(out)
+
     def run_pair(sa, sb, train=True):
         ba, bb = batch_of(sa), batch_of(sb)
         GA, lA, liA = ba.targets
@@ -168,12 +183,16 @@ def main(argv=None):
                 GAB, GA.shape[0], GB.shape[0],
             )
             return float(loss)
-        out = model.apply(
-            {"params": state.params},
-            (ba.operator, jnp.asarray(ba.mask)), (bb.operator, jnp.asarray(bb.mask)),
-            jnp.asarray(ba.inputs), jnp.asarray(bb.inputs),
+        GB_pad = np.zeros((N, N), np.float32)
+        GB_pad[: GB.shape[0], : GB.shape[1]] = GB
+        loss, metrics = eval_step(
+            state.params,
+            ba.operator, jnp.asarray(ba.mask), jnp.asarray(ba.inputs),
+            bb.operator, jnp.asarray(bb.mask), jnp.asarray(bb.inputs),
+            GAB, _pad_labels(lA, N), _pad_labels(lB, N), _pad_labels(liB, N),
+            jnp.asarray(GB_pad),
         )
-        return float(loss_fn(out[0], GAB))
+        return float(loss), {k: float(v) for k, v in metrics.items()}
 
     for epoch in range(args.num_epoch):
         loss_sum = 0.0
@@ -189,9 +208,14 @@ def main(argv=None):
             if not args.complete_test:
                 pairs = random.Random(epoch).choices(pairs, k=min(20, len(pairs)))
             loss_sum = 0.0
+            msum: dict = {}
             for i, j in pairs:
-                loss_sum += run_pair(data[i], data[j], train=False)
-            log(f"Test epoch {epoch}, loss {loss_sum / len(pairs)}")
+                loss, metrics = run_pair(data[i], data[j], train=False)
+                loss_sum += loss
+                for k, v in metrics.items():
+                    msum[k] = msum.get(k, 0.0) + v
+            mstr = " ".join(f"{k} {msum[k] / len(pairs):.4f}" for k in sorted(msum))
+            log(f"Test epoch {epoch}, loss {loss_sum / len(pairs)}, {mstr}")
 
         if epoch % 10 == 9:
             checkpoint.save_checkpoint(ckpt_path, state.params, state.opt_state, epoch)

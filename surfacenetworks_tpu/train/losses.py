@@ -110,3 +110,47 @@ def corr_delta_cross_entropy(outputs, GAB):
     target = jnp.argmin(GAB, axis=-1)
     logp = jax.nn.log_softmax(outputs, axis=-1)
     return -jnp.mean(jnp.take_along_axis(logp, target[..., None], axis=-1))
+
+
+def corr_accuracy_metrics(logits, lA, lB, liB, GB, mask_a, mask_b):
+    """FAUST correspondence accuracy of ``argmax`` predictions.
+
+    The north-star metric the reference reports in the paper (repo logs loss
+    only, dense_correspondence/main.py:330-356): for every valid vertex ``i``
+    of shape A the prediction is ``argmax_j logits[i, j]``; it is *exact*
+    when the predicted vertex carries A's ground-truth label
+    (``lB[pred] == lA[i]``), and its *geodesic error* is the distance on B
+    between the prediction and the ground-truth vertex
+    (``GB[liB[lA[i]], pred]`` — the Princeton / FAUST protocol).
+
+    All inputs are padded to the bucket size; ``mask_a/mask_b [N]`` select
+    valid rows / columns.  jit-safe (static shapes, dynamic counts).
+
+    Returns dict: exact (fraction), geo_mean, geo_q25/q50/q75 (quantiles of
+    the geodesic-error CDF over valid vertices).
+    """
+    logits = jnp.where(mask_b[None, :] > 0, logits, -jnp.inf)
+    pred = jnp.argmax(logits, axis=-1)  # [N]
+    gt = liB[lA]  # ground-truth correspondent on B, per A vertex
+    valid = mask_a > 0
+    nvalid = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+    exact = jnp.sum(jnp.where(valid, (lB[pred] == lA), False)) / nvalid
+    geo = GB[gt, pred]
+    geo_mean = jnp.sum(jnp.where(valid, geo, 0.0)) / nvalid
+    geo_sorted = jnp.sort(jnp.where(valid, geo, jnp.inf))
+
+    def q(p):
+        idx = jnp.clip(
+            jnp.floor(p * (nvalid - 1).astype(jnp.float32)).astype(jnp.int32),
+            0,
+            geo.shape[0] - 1,
+        )
+        return geo_sorted[idx]
+
+    return {
+        "exact": exact,
+        "geo_mean": geo_mean,
+        "geo_q25": q(0.25),
+        "geo_q50": q(0.5),
+        "geo_q75": q(0.75),
+    }
