@@ -144,6 +144,69 @@ def _train_step_time(n_meshes=4, n_points=1000, layers=15, iters=8):
     return max(timed(9) - timed(1), 1e-9) / 8
 
 
+def _siamese_step_time(n_points=7000, layers=15, channels=128, iters=4):
+    """Per-step wall time of the FAUST flagship: two 15-layer Lap trunks
+    (BSR/MXU operators, RCM order) + the N x N correspondence einsum + dcel
+    loss + backward — the workload BASELINE marks for partitioning
+    (dense_correspondence/main.py:193,320).  Epoch time = num_updates x this."""
+    import statistics
+
+    import jax
+    import jax.numpy as jnp
+
+    from surfacenetworks_tpu import geometry as geo
+    from surfacenetworks_tpu import models as zoo
+    from surfacenetworks_tpu import sparse as sps
+    from surfacenetworks_tpu.data import datasets, round_up
+    from surfacenetworks_tpu.train import TrainState, losses, optim
+
+    rng = np.random.default_rng(0)
+    V, F = datasets.random_blob_mesh(rng, n_points)
+    L = geo.igl_style_laplacian(V, F, hack=1.0).tocsr()
+    perm = sps.rcm_permutation(L)
+    L = L[perm][:, perm].tocsr()
+    n_bucket = round_up(L.shape[0], 128)
+    bop = sps.stack_bsr_operators(
+        [sps.bsr_operator_from_scipy(L, block_size=128, n_rows=n_bucket, n_cols=n_bucket)]
+    )
+    mask = np.zeros((1, n_bucket, 1), np.float32)
+    mask[0, : L.shape[0]] = 1.0
+    inputs = np.zeros((1, n_bucket, 3), np.float32)
+    inputs[0, : V.shape[0]] = V[perm]
+    GAB = rng.normal(size=(n_bucket, n_bucket)).astype(np.float32) ** 2
+
+    model = zoo.SiameseModel(model="lap", layers=layers)
+    mask_j, in_j, GAB_j = (jnp.asarray(a) for a in (mask, inputs, GAB))
+    bop = jax.device_put(bop)
+    opx = (bop, mask_j)
+    params = model.init(jax.random.key(0), opx, opx, in_j, in_j)["params"]
+    state = TrainState.create(params, optim.adam(1e-3, weight_decay=1e-5))
+
+    def step(state, _):
+        def objective(p):
+            out = model.apply({"params": p}, opx, opx, in_j, in_j)
+            return losses.corr_delta_cross_entropy(out[0], GAB_j)
+
+        loss, grads = jax.value_and_grad(objective)(state.params)
+        return state.apply_gradients(grads), loss
+
+    def run(state, n_steps):
+        state, losses_ = jax.lax.scan(step, state, None, length=n_steps)
+        return state, losses_[-1]
+
+    def timed(n):
+        out = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            s, _ = jax.jit(run, static_argnums=1)(state, n)
+            jax.block_until_ready(s.params)
+            out.append(time.perf_counter() - t0)
+        return statistics.median(out)
+
+    timed(1), timed(5)  # warm both compiles
+    return max(timed(5) - timed(1), 1e-9) / 4
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -209,6 +272,7 @@ def main():
     t_dense = _per_apply(dense_iter, (jnp.asarray(dense_pad), xj))
     t_dirac = _per_apply(dirac_iter, (dop, jnp.asarray(vx)))
     t_step = _train_step_time()
+    t_faust = _siamese_step_time()
 
     best_name, best_t = min(
         [("ell_gather", t_ell), ("ell_pallas", t_ellp), ("bsr_mxu", t_bsr)],
@@ -235,6 +299,7 @@ def main():
                     "dirac_roundtrip_us_per_apply": round(t_dirac * 1e6, 3),
                     "dirac_edges_per_s": round(dirac_nnz / t_dirac, 1),
                     "train_step_ms_b4_n1000_l15": round(t_step * 1e3, 3),
+                    "train_step_ms_faust": round(t_faust * 1e3, 3),
                     "device": str(device),
                 },
             }

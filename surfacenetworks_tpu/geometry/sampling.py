@@ -12,40 +12,54 @@ import numpy as np
 from scipy.spatial import Delaunay
 
 
-def poisson_disc_2d(
+def poisson_disc(
     r: float,
-    width: float,
-    height: float,
-    seed_point: tuple[float, float] | None = None,
+    extents: "tuple[float, ...] | np.ndarray",
+    seed_point: "tuple[float, ...] | None" = None,
     k: int = 30,
     rng: np.random.Generator | None = None,
 ) -> np.ndarray:
-    """Bridson Poisson-disc samples in [0, width] x [0, height] with minimum
-    spacing ``r`` (poisson_disc.py:16-188 capability, vectorized grid)."""
+    """Bridson Poisson-disc samples in the n-D box ``prod_i [0, extents[i]]``
+    with minimum spacing ``r`` (dimension-generic like the reference Grid,
+    poisson_disc.py:16-188; the codebase only ever uses 2-D).
+
+    Candidates are drawn uniformly from the spherical shell ``[r, 2r)``
+    around an active point (direction = normalized Gaussian, radius via the
+    inverse-CDF ``(r^d + u (2r)^d - u r^d)^(1/d)``); the acceleration grid
+    has cell size ``r / sqrt(d)`` so each cell holds at most one sample and
+    conflict checks scan the 5^d neighborhood, vectorized over occupied
+    neighbors.
+    """
     rng = rng or np.random.default_rng()
-    cell = r / np.sqrt(2)
-    gw, gh = int(np.ceil(width / cell)) + 1, int(np.ceil(height / cell)) + 1
-    grid = -np.ones((gw, gh), dtype=np.int64)
+    extents = np.asarray(extents, dtype=np.float64)
+    d = extents.shape[0]
+    cell = r / np.sqrt(d)
+    gshape = tuple(int(np.ceil(e / cell)) + 1 for e in extents)
+    grid = -np.ones(gshape, dtype=np.int64)
+    # relative index offsets of the 5^d conflict neighborhood
+    offsets = np.stack(
+        np.meshgrid(*([np.arange(-2, 3)] * d), indexing="ij"), axis=-1
+    ).reshape(-1, d)
+    gshape_arr = np.asarray(gshape)
     points: list[np.ndarray] = []
     active: list[int] = []
 
     def grid_idx(p):
-        return int(p[0] / cell), int(p[1] / cell)
+        return tuple((p / cell).astype(np.int64))
 
     def fits(p):
-        gx, gy = grid_idx(p)
-        x0, x1 = max(gx - 2, 0), min(gx + 3, gw)
-        y0, y1 = max(gy - 2, 0), min(gy + 3, gh)
-        for ix in range(x0, x1):
-            for iy in range(y0, y1):
-                j = grid[ix, iy]
-                if j >= 0 and np.linalg.norm(points[j] - p) < r:
-                    return False
-        return True
+        idx = np.asarray(grid_idx(p)) + offsets
+        ok = np.all((idx >= 0) & (idx < gshape_arr), axis=1)
+        occ = grid[tuple(idx[ok].T)]
+        occ = occ[occ >= 0]
+        if occ.size == 0:
+            return True
+        neigh = np.asarray([points[j] for j in occ])
+        return bool(np.min(np.linalg.norm(neigh - p, axis=1)) >= r)
 
     p0 = np.asarray(
-        seed_point if seed_point is not None else rng.uniform([0, 0], [width, height])
-    )
+        seed_point if seed_point is not None else rng.uniform(np.zeros(d), extents)
+    , dtype=np.float64)
     points.append(p0)
     grid[grid_idx(p0)] = 0
     active.append(0)
@@ -55,10 +69,12 @@ def poisson_disc_2d(
         base = points[active[pick]]
         found = False
         for _ in range(k):
-            rad = rng.uniform(r, 2 * r)
-            ang = rng.uniform(0, 2 * np.pi)
-            cand = base + rad * np.array([np.cos(ang), np.sin(ang)])
-            if 0 <= cand[0] <= width and 0 <= cand[1] <= height and fits(cand):
+            u = rng.uniform()
+            rad = (r**d + u * ((2 * r) ** d - r**d)) ** (1.0 / d)
+            direction = rng.normal(size=d)
+            direction /= max(np.linalg.norm(direction), 1e-12)
+            cand = base + rad * direction
+            if np.all(cand >= 0) and np.all(cand <= extents) and fits(cand):
                 grid[grid_idx(cand)] = len(points)
                 active.append(len(points))
                 points.append(cand)
@@ -67,6 +83,18 @@ def poisson_disc_2d(
         if not found:
             active.pop(pick)
     return np.asarray(points)
+
+
+def poisson_disc_2d(
+    r: float,
+    width: float,
+    height: float,
+    seed_point: tuple[float, float] | None = None,
+    k: int = 30,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """2-D convenience wrapper over :func:`poisson_disc` (the mesh-MNIST use)."""
+    return poisson_disc(r, (width, height), seed_point=seed_point, k=k, rng=rng)
 
 
 def bilinear_interpolate(image: np.ndarray, y: float, x: float) -> float:

@@ -70,6 +70,18 @@ def test_poisson_disc_spacing():
     assert d.min() >= 1.5 - 1e-9
 
 
+def test_poisson_disc_nd_spacing():
+    # dimension-generic sampler (reference poisson_disc.py Grid is n-D)
+    for d, r, extent, min_pts in [(1, 0.8, 20.0, 15), (3, 2.5, 10.0, 40)]:
+        pts = sampling.poisson_disc(r, (extent,) * d, rng=np.random.default_rng(d))
+        assert pts.shape[1] == d
+        assert len(pts) > min_pts
+        assert pts.min() >= 0 and pts.max() <= extent
+        dist = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+        np.fill_diagonal(dist, np.inf)
+        assert dist.min() >= r - 1e-9
+
+
 def test_image_to_mesh_and_operators():
     rng = np.random.default_rng(1)
     img = np.zeros((28, 28))
