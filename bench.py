@@ -203,8 +203,13 @@ def _siamese_step_time(n_points=7000, layers=15, channels=128, iters=4):
             out.append(time.perf_counter() - t0)
         return statistics.median(out)
 
-    timed(1), timed(5)  # warm both compiles
-    return max(timed(5) - timed(1), 1e-9) / 4
+    timed(1), timed(9)  # warm both compiles
+    t1, t9 = timed(1), timed(9)
+    diff = t9 - t1
+    if diff < 0.2 * t9:
+        # dispatch noise swamped the difference; latency-inclusive estimate
+        return t9 / 9
+    return diff / 8
 
 
 def main():
@@ -250,6 +255,42 @@ def main():
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x))
 
+    # SDDMM at the Laplacian pattern vs the dense siamese head: the FAUST
+    # losses consume the FULL FA@FB^T logits (softmax over every column),
+    # so the dense einsum is required there; sddmm is the primitive for
+    # pattern-restricted scores.  Both timed at N=7000 / C=128 to document
+    # the decision (VERDICT r1 missing #3).
+    from surfacenetworks_tpu.sparse import pallas_kernels as pk
+    from surfacenetworks_tpu.sparse.ops import _sddmm_xla
+
+    @jax.jit
+    def sddmm_x_iter(op, a, b, n):
+        m = op.fwd
+
+        def body(_, y):
+            v = _sddmm_xla(m.cols, m.vals, y, b)
+            return a + jnp.sum(v) * 1e-9 + y * 0.999
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, a))
+
+    @jax.jit
+    def sddmm_p_iter(op, a, b, n):
+        m = op.fwd
+
+        def body(_, y):
+            v = pk.sddmm(m.cols, m.vals, y, b, m.window)
+            return a + jnp.sum(v) * 1e-9 + y * 0.999
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, a))
+
+    @jax.jit
+    def dense_head_iter(a, b, n):
+        def body(_, y):
+            v = jnp.einsum("nc,mc->nm", y, b, preferred_element_type=jnp.float32)
+            return a + jnp.sum(v) * 1e-9 + y * 0.999
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, a))
+
     dop, dirac_nnz, vx = _build_dirac_workload()
 
     @jax.jit
@@ -271,6 +312,9 @@ def main():
     t_bsr = _per_apply(bsr_iter, (bop, xj))
     t_dense = _per_apply(dense_iter, (jnp.asarray(dense_pad), xj))
     t_dirac = _per_apply(dirac_iter, (dop, jnp.asarray(vx)))
+    t_sddmm_x = _per_apply(sddmm_x_iter, (op, xj, xj))
+    t_sddmm_p = _per_apply(sddmm_p_iter, (op, xj, xj))
+    t_dense_head = _per_apply(dense_head_iter, (xj, xj))
     t_step = _train_step_time()
     t_faust = _siamese_step_time()
 
@@ -298,6 +342,9 @@ def main():
                     "dense_us_per_apply": round(t_dense * 1e6, 3),
                     "dirac_roundtrip_us_per_apply": round(t_dirac * 1e6, 3),
                     "dirac_edges_per_s": round(dirac_nnz / t_dirac, 1),
+                    "sddmm_xla_us_per_apply": round(t_sddmm_x * 1e6, 3),
+                    "sddmm_pallas_us_per_apply": round(t_sddmm_p * 1e6, 3),
+                    "dense_corr_head_us": round(t_dense_head * 1e6, 3),
                     "train_step_ms_b4_n1000_l15": round(t_step * 1e3, 3),
                     "train_step_ms_faust": round(t_faust * 1e3, 3),
                     "device": str(device),

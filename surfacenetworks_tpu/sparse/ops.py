@@ -104,6 +104,86 @@ def dense_bmm(L: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# SDDMM: sampled dense-dense matmul at an operator's sparsity pattern
+# ---------------------------------------------------------------------------
+
+
+def _sddmm_xla(cols, vals, a, b):
+    """out[r,k] = <a[r], b[cols[r,k]]> where vals[r,k] != 0, else 0."""
+    gathered = jnp.take(b, cols, axis=0)  # [R, K, C]
+    out = jnp.einsum("rc,rkc->rk", a, gathered)
+    return jnp.where(vals != 0, out, 0.0)
+
+
+def _sddmm_raw(cols, vals, a, b, window, impl=None):
+    impl = impl or _DEFAULT_IMPL
+    if impl == "pallas" and window > 0:
+        from surfacenetworks_tpu.sparse import pallas_kernels
+
+        return pallas_kernels.sddmm(cols, vals, a, b, window)
+    return _sddmm_xla(cols, vals, a, b)
+
+
+@jax.custom_vjp
+def sddmm(op: EllOperator, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Sampled dense-dense matmul: ``(a @ b^T)`` evaluated only at the
+    sparsity pattern of ``op.fwd`` — the companion kernel to SpMM named by
+    the BASELINE north star.
+
+    ``a [..., R, C]``, ``b [..., N, C]`` -> ``[..., R, K]`` ELL values on
+    ``op.fwd.cols``.  A pattern slot exists iff its stored value is nonzero
+    (the EllMatrix padding convention) — explicit zero entries are treated
+    as padding.
+
+    Gradients flow to BOTH dense factors (unlike ``spmm``, whose operator is
+    constant): ``da = (g at pattern) @ b`` is itself an ELL SpMM, and
+    ``db[j] = sum_{(r,k): cols[r,k]=j} g[r,k] a[r]`` is the transpose
+    scatter (segment-sum).
+
+    Note on the siamese head: the FAUST losses consume the *full*
+    ``FA @ FB^T`` logits (softmax over every column,
+    dense_correspondence/main.py:216-240), so the dense einsum is the right
+    tool there — `bench.py` records the measured crossover.  sddmm is for
+    pattern-restricted scores (operator-weighted losses, sparse attention
+    over mesh neighborhoods).
+    """
+    m = op.fwd
+    if m.cols.ndim == 2:
+        return _sddmm_raw(m.cols, m.vals, a, b, m.window)
+    fn = functools.partial(_sddmm_raw, window=m.window)
+    return jax.vmap(fn)(m.cols, m.vals, a, b)
+
+
+def _sddmm_vjp_fwd(op, a, b):
+    return sddmm(op, a, b), (op, a, b)
+
+
+def _sddmm_vjp_bwd(res, g):
+    op, a, b = res
+    m = op.fwd
+    gm = jnp.where(m.vals != 0, g, 0.0)
+
+    def one(cols, gm_, a_, b_):
+        da = _ell_matmul_xla(cols, gm_, b_)
+        R, K = cols.shape
+        contrib = gm_[..., None] * a_[:, None, :]  # [R, K, C]
+        db = jax.ops.segment_sum(
+            contrib.reshape(R * K, -1), cols.reshape(R * K), num_segments=b_.shape[0]
+        )
+        return da, db
+
+    if m.cols.ndim == 2:
+        da, db = one(m.cols, gm, a, b)
+    else:
+        da, db = jax.vmap(one)(m.cols, gm, a, b)
+    op_bar = jax.tree_util.tree_map(jnp.zeros_like, op)
+    return (op_bar, da, db)
+
+
+sddmm.defvjp(_sddmm_vjp_fwd, _sddmm_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
 # quaternion algebra (VPU elementwise; channel axis rides the 128-lane dim)
 # ---------------------------------------------------------------------------
 

@@ -167,3 +167,81 @@ def ell_matmul(cols, vals, x, window):
             "operators (no verified bound) must use the XLA gather path"
         )
     return _ell_matmul_call(cols, vals, x, int(window), interpret=not _on_tpu())
+
+
+@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+def _sddmm_call(cols, vals, a, b, window, interpret=False):
+    """Windowed SDDMM: out[r,k] = <a[r], b[cols[r,k]]> at nonzero slots.
+
+    Same banded-window design as ``_ell_matmul_call`` run in reverse: each
+    128-row tile (1) slices the ``[W, C]`` band of the VMEM-resident ``b``,
+    (2) issues ONE MXU matmul ``a_tile [128, C] x band^T -> scores
+    [128, W]`` (contraction over the 128-lane feature axis — the MXU-native
+    direction), then (3) *samples* the K pattern slots out of the score
+    tile with compare-selects against a lane iota.  No HBM gather anywhere.
+    """
+    R, K = cols.shape
+    N, C = b.shape
+    TR = 128
+    Rp = _round_up(R, TR)
+    if Rp != R:
+        cols = jnp.pad(cols, ((0, Rp - R), (0, 0)))
+        vals = jnp.pad(vals, ((0, Rp - R), (0, 0)))
+        a = jnp.pad(a, ((0, Rp - R), (0, 0)))
+    W = min(window, N)
+    T = Rp // TR
+
+    def kernel(cols_ref, vals_ref, a_ref, b_ref, out_ref):
+        cols_t = cols_ref[...]
+        vals_t = vals_ref[...]
+        base = jnp.min(jnp.where(vals_t != 0.0, cols_t, N))
+        base = jnp.clip((base // 8) * 8, 0, N - W)
+        band = b_ref[pl.ds(base, W), :]  # [W, C]
+        scores = jax.lax.dot_general(
+            a_ref[...],
+            band,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [TR, W]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TR, W), 1)
+        rel = cols_t - base
+        outs = []
+        for k in range(K):
+            hit = (rel[:, k][:, None] == iota) & (vals_t[:, k][:, None] != 0.0)
+            outs.append(jnp.sum(jnp.where(hit, scores, 0.0), axis=1))
+        out_ref[...] = jnp.stack(outs, axis=1).astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Rp, K), a.dtype),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((TR, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # b fully resident
+        ],
+        out_specs=pl.BlockSpec((TR, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Rp * W * C,
+            bytes_accessed=(cols.size + vals.size) * 4 + (a.size + b.size) * 4,
+            transcendentals=0,
+        ),
+    )(cols, vals, a, b)
+    return out[:R] if Rp != R else out
+
+
+def sddmm(cols, vals, a, b, window):
+    """Sampled dense-dense matmul via the windowed Pallas kernel.
+
+    ``window`` must be a valid banded bound (``EllMatrix.window``); callers
+    route window=0 patterns through the XLA gather path (sparse/ops.py).
+    """
+    if int(window) <= 0:
+        raise ValueError(
+            "sddmm requires a positive banded window bound; window=0 "
+            "patterns (no verified bound) must use the XLA gather path"
+        )
+    return _sddmm_call(cols, vals, a, b, int(window), interpret=not _on_tpu())
