@@ -89,7 +89,18 @@ def _build_dirac_workload(n_points=7000, channels=128):
     coeffs = geo.dirac_coeffs(V, F)
     n_v = round_up(V.shape[0], 128)
     n_f = round_up(F.shape[0], 128)
-    dop = sps.dirac_from_coeffs(coeffs, n_vertices=n_v, n_faces=n_f)
+    # packed-valence tables (the Buckets.for_samples default policy): base
+    # slots ~p95 valence + overflow side table — the fv apply is
+    # gather-issue bound so cost scales with the padded slot count
+    from surfacenetworks_tpu.data.batching import _dirac_packing
+
+    base, n_ov = _dirac_packing([{"F": F}])
+    kv = coeffs.vf_face.shape[1]
+    dop = sps.dirac_from_coeffs(
+        coeffs, n_vertices=n_v, n_faces=n_f,
+        base_valence=min(base, kv) if base else None,
+        n_overflow=n_ov or None,
+    )
     # nnz of Di as a scalar 4F x 4V matrix: 3 quaternion blocks per face row,
     # 16 scalar entries each; DiA mirrors it.
     nnz_scalar = 2 * F.shape[0] * 3 * 16

@@ -37,12 +37,59 @@ class Buckets:
     max_valence: int = 16  # Dirac vertex-face incidence slots
     bsr_block: int = 128  # BSR block size (MXU tile)
     bsr_k: int = 8  # BSR blocks per block-row
+    # Packed-valence Dirac tables (sparse/ell.py dirac_from_coeffs): base
+    # slot count ~p95 valence; the few higher-valence vertices overflow into
+    # a dirac_overflow-row side table.  0 = packing disabled.
+    dirac_base_valence: int = 0
+    dirac_overflow: int = 0
 
     @classmethod
     def for_samples(cls, samples, multiple: int = 8) -> "Buckets":
         nv = max(s["V"].shape[0] for s in samples)
         nf = max(s["F"].shape[0] for s in samples)
-        return cls(n_vertices=round_up(nv, multiple), n_faces=round_up(nf, multiple))
+        base, ov = _dirac_packing(samples)
+        return cls(
+            n_vertices=round_up(nv, multiple),
+            n_faces=round_up(nf, multiple),
+            dirac_base_valence=base,
+            dirac_overflow=ov,
+        )
+
+    def dirac_kwargs(self) -> dict:
+        """kwargs for ``dirac_from_coeffs`` implementing this bucket's
+        packing policy."""
+        if not self.dirac_base_valence or self.dirac_base_valence >= self.max_valence:
+            return {}
+        return {
+            "base_valence": self.dirac_base_valence,
+            "n_overflow": self.dirac_overflow,
+        }
+
+
+def _dirac_packing(samples) -> tuple[int, int]:
+    """Choose (base_valence, n_overflow) from the dataset's vertex-valence
+    distribution: base = p95 (>= 4, even), overflow rows = max per-sample
+    count of vertices above base (the fv gather cost scales with the base
+    slot count — see sparse/ell.py DiracOperator)."""
+    valences = []
+    per_sample_over = []
+    for s in samples:
+        F = np.asarray(s["F"])
+        if F.size == 0:
+            continue
+        val = np.bincount(F.reshape(-1), minlength=int(F.max()) + 1)
+        valences.append(val)
+    if not valences:
+        return 0, 0
+    allv = np.concatenate(valences)
+    base = int(np.percentile(allv[allv > 0], 95))
+    base = max(4, base + (base % 2))  # even, >= 4
+    over = max(int((v > base).sum()) for v in valences)
+    if over == 0:
+        # packing still pays off whenever base < max valence: the table
+        # shrinks with an empty (8-row) overflow
+        return base, 8
+    return base, round_up(over, 8)
 
 
 @dataclasses.dataclass
@@ -230,7 +277,7 @@ def mnist_batch(
         ops = [
             dirac_from_coeffs(
                 s["dirac"], n_vertices=N, n_faces=buckets.n_faces,
-                max_valence=buckets.max_valence,
+                max_valence=buckets.max_valence, **buckets.dirac_kwargs(),
             )
             for s in samples
         ]
@@ -265,13 +312,13 @@ def vae_batch(
     if model == "dirac":
         operator = stack_dirac(
             [
-                dirac_from_coeffs(s["dirac"], N, buckets.n_faces, buckets.max_valence)
+                dirac_from_coeffs(s["dirac"], N, buckets.n_faces, buckets.max_valence, **buckets.dirac_kwargs())
                 for s in samples
             ]
         )
         flat_operator = stack_dirac(
             [
-                dirac_from_coeffs(s["flat_dirac"], N, buckets.n_faces, buckets.max_valence)
+                dirac_from_coeffs(s["flat_dirac"], N, buckets.n_faces, buckets.max_valence, **buckets.dirac_kwargs())
                 for s in samples
             ]
         )
@@ -322,7 +369,7 @@ def arap_batch(
         ]
         operator = stack_dirac(
             [
-                dirac_from_coeffs(c, N, buckets.n_faces, buckets.max_valence)
+                dirac_from_coeffs(c, N, buckets.n_faces, buckets.max_valence, **buckets.dirac_kwargs())
                 for c in coeffs_list
             ]
         )
@@ -353,7 +400,7 @@ def correspondence_batch(
         if coeffs is None:
             coeffs = native.dirac_coeffs(sample["V"], sample["F"])
         operator = stack_dirac(
-            [dirac_from_coeffs(coeffs, N, buckets.n_faces, buckets.max_valence)]
+            [dirac_from_coeffs(coeffs, N, buckets.n_faces, buckets.max_valence, **buckets.dirac_kwargs())]
         )
     elif fmt == "bsr":
         from surfacenetworks_tpu.sparse import bsr_operator_from_scipy, stack_bsr_operators
@@ -479,7 +526,7 @@ def dirac_batch(
             if coeffs is None:
                 coeffs = native.dirac_coeffs(s["V"], s["F"])
             ops.append(
-                dirac_from_coeffs(coeffs, n_vertices=N, n_faces=M, max_valence=buckets.max_valence)
+                dirac_from_coeffs(coeffs, n_vertices=N, n_faces=M, max_valence=buckets.max_valence, **buckets.dirac_kwargs())
             )
         operator = stack_dirac(ops)
     return MeshBatch(

@@ -280,16 +280,36 @@ def _dirac_vf_raw(faces, q_fv, v):
     return jax.vmap(_dirac_gather_apply)(faces, q_fv, v)
 
 
+def _vertex_side_apply(vf_face, q_main, ov_rows, ov_face, q_ov, x):
+    """Faces -> vertices gather-combine with optional packed-valence
+    overflow: base table covers ``base_valence`` slots; the few
+    higher-valence vertices add their surplus via a tiny gather + P-row
+    scatter-add (padded overflow rows carry q=0 and add zeros at row 0)."""
+    out = _dirac_gather_apply(vf_face, q_main, x)
+    if ov_rows is not None:
+        o = _dirac_gather_apply(ov_face, q_ov, x)
+        out = out.at[ov_rows].add(o)
+    return out
+
+
+def _apply_vertex_side(op: DiracOperator, q_main, q_ov, x):
+    if op.vf_face.ndim == 2:
+        return _vertex_side_apply(op.vf_face, q_main, op.ov_rows, op.ov_face, q_ov, x)
+    if op.ov_rows is None:
+        fn = lambda t, q, xx: _vertex_side_apply(t, q, None, None, None, xx)
+        return jax.vmap(fn)(op.vf_face, q_main, x)
+    return jax.vmap(_vertex_side_apply)(
+        op.vf_face, q_main, op.ov_rows, op.ov_face, q_ov, x
+    )
+
+
 def _dirac_vf_fwd(op, v):
     return dirac_apply_vf(op, v), op
 
 
 def _dirac_vf_bwd(op, g):
     # v_bar[j] = sum over incident (face,corner): conj(q_fv) (x) g[face]
-    if op.vf_face.ndim == 2:
-        out = _dirac_gather_apply(op.vf_face, op.q_bwd_v, g)
-    else:
-        out = jax.vmap(_dirac_gather_apply)(op.vf_face, op.q_bwd_v, g)
+    out = _apply_vertex_side(op, op.q_bwd_v, op.q_ov_bwd_v, g)
     op_bar = jax.tree_util.tree_map(jnp.zeros_like, op)
     return (op_bar, out)
 
@@ -303,14 +323,12 @@ def dirac_apply_fv(op: DiracOperator, f: jnp.ndarray) -> jnp.ndarray:
 
     ``f [..., M, C]`` -> ``[..., N, C]``.  Parity: utils/utils_pt.py:213-215.
     """
-    return _dirac_fv_raw(op.vf_face, op.q_vf, f)
+    return _dirac_fv_raw(op, f)
 
 
-def _dirac_fv_raw(vf_face, q_vf, f):
+def _dirac_fv_raw(op: DiracOperator, f):
     assert f.shape[-1] % 4 == 0, f"channels {f.shape[-1]} not divisible by 4"
-    if vf_face.ndim == 2:
-        return _dirac_gather_apply(vf_face, q_vf, f)
-    return jax.vmap(_dirac_gather_apply)(vf_face, q_vf, f)
+    return _apply_vertex_side(op, op.q_vf, op.q_ov_vf, f)
 
 
 def _dirac_fv_fwd(op, f):

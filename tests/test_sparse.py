@@ -202,3 +202,60 @@ def test_auto_batch_matches_ell_batch():
     y_dense = ops.dense_bmm(jnp.asarray(b_auto.operator), x)
     y_ell = ops.spmm(b_ell.operator, x)
     np.testing.assert_allclose(np.asarray(y_dense), np.asarray(y_ell), rtol=1e-4, atol=1e-4)
+
+
+def test_dirac_packed_valence_matches_unpacked():
+    """Packed-valence tables (base + overflow scatter) are numerically
+    identical to the full-valence tables, forward and backward (the fv
+    apply and the vf VJP both ride the vertex-side tables)."""
+    import jax
+
+    from surfacenetworks_tpu import geometry as geo
+    from surfacenetworks_tpu.data import datasets
+    from surfacenetworks_tpu.sparse import dirac_from_coeffs, stack_dirac
+    from surfacenetworks_tpu.sparse import dirac_apply_fv, dirac_apply_vf
+
+    rng = np.random.default_rng(3)
+    V, F = datasets.random_blob_mesh(rng, 80)
+    coeffs = geo.dirac_coeffs(V, F)
+    kv = coeffs.vf_face.shape[1]
+    assert kv > 5, "mesh too regular to exercise the overflow path"
+    n, m = 96, 176
+    full = dirac_from_coeffs(coeffs, n_vertices=n, n_faces=m, max_valence=kv)
+    packed = dirac_from_coeffs(
+        coeffs, n_vertices=n, n_faces=m, max_valence=kv, base_valence=5, n_overflow=64
+    )
+    assert packed.vf_face.shape[1] == 5
+    assert packed.ov_face.shape == (64, kv - 5)
+    assert (np.asarray(packed.q_ov_vf) != 0).any(), "overflow not exercised"
+
+    v = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    f = jnp.asarray(rng.normal(size=(m, 16)).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(dirac_apply_fv(packed, f)),
+        np.asarray(dirac_apply_fv(full, f)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    def loss_vf(op, v):
+        return jnp.sum(jnp.sin(dirac_apply_vf(op, v)))
+
+    gv_full = jax.grad(loss_vf, argnums=1)(full, v)
+    gv_packed = jax.grad(loss_vf, argnums=1)(packed, v)
+    np.testing.assert_allclose(np.asarray(gv_packed), np.asarray(gv_full), rtol=1e-5, atol=1e-6)
+
+    def loss_fv(op, f):
+        return jnp.sum(jnp.sin(dirac_apply_fv(op, f)))
+
+    gf_full = jax.grad(loss_fv, argnums=1)(full, f)
+    gf_packed = jax.grad(loss_fv, argnums=1)(packed, f)
+    np.testing.assert_allclose(np.asarray(gf_packed), np.asarray(gf_full), rtol=1e-5, atol=1e-6)
+
+    # batched (stacked) packed operators
+    b = stack_dirac([packed, packed])
+    vb = jnp.stack([v, v * 0.5])
+    out = dirac_apply_vf(b, vb)
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(dirac_apply_vf(full, v)), rtol=1e-5, atol=1e-6
+    )
