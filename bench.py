@@ -142,17 +142,23 @@ def _train_step_time(n_meshes=4, n_points=1000, layers=15, iters=8):
 
     import statistics
 
+    run_jit = jax.jit(run, static_argnums=1)
+
     def timed(n):
         out = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            s, loss = jax.jit(run, static_argnums=1)(state, n)
+            s, loss = run_jit(state, n)
             jax.block_until_ready(s.params)
             out.append(time.perf_counter() - t0)
         return statistics.median(out)
 
     timed(1), timed(9)  # warm both compiles
-    return max(timed(9) - timed(1), 1e-9) / 8
+    t1, t9 = timed(1), timed(9)
+    diff = t9 - t1
+    if diff < 0.2 * t9:
+        return t9 / 9
+    return diff / 8
 
 
 def _siamese_step_time(n_points=7000, layers=15, channels=128, iters=4):
@@ -205,11 +211,13 @@ def _siamese_step_time(n_points=7000, layers=15, channels=128, iters=4):
         state, losses_ = jax.lax.scan(step, state, None, length=n_steps)
         return state, losses_[-1]
 
+    run_jit = jax.jit(run, static_argnums=1)
+
     def timed(n):
         out = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            s, _ = jax.jit(run, static_argnums=1)(state, n)
+            s, _ = run_jit(state, n)
             jax.block_until_ready(s.params)
             out.append(time.perf_counter() - t0)
         return statistics.median(out)
@@ -253,6 +261,27 @@ def main():
     def bsr_iter(bop, x, n):
         def body(_, y):
             return sps.bsr_spmm(bop, y) * 0.2 + x * 0.01
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+
+    # full LapResNet2 inner step as composed by XLA (elu + spmm + concat +
+    # train-mode BN + conv weights): within ~5 us of the bare SpMM — the
+    # measured reason no fused Pallas block kernel ships (see
+    # sparse/pallas_kernels.py module docstring)
+    rngW = np.random.default_rng(1)
+    Wt = jnp.asarray(rngW.normal(size=(256, 128)).astype(np.float32) * 0.05)
+    gamma = jnp.asarray(np.ones(256, np.float32))
+    beta = jnp.asarray(np.zeros(256, np.float32))
+
+    @jax.jit
+    def inner_step_iter(bop, x, n):
+        def body(_, y):
+            z = jax.nn.elu(y)
+            h = jnp.concatenate([z, sps.bsr_spmm(bop, z)], axis=-1)
+            mu = jnp.mean(h, axis=0)
+            var = jnp.mean(h * h, axis=0) - mu * mu
+            hn = (h - mu) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
+            return hn @ Wt * 0.2 + x * 0.01
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x))
 
@@ -323,6 +352,7 @@ def main():
     t_bsr = _per_apply(bsr_iter, (bop, xj))
     t_dense = _per_apply(dense_iter, (jnp.asarray(dense_pad), xj))
     t_dirac = _per_apply(dirac_iter, (dop, jnp.asarray(vx)))
+    t_inner = _per_apply(inner_step_iter, (bop, xj))
     t_sddmm_x = _per_apply(sddmm_x_iter, (op, xj, xj))
     t_sddmm_p = _per_apply(sddmm_p_iter, (op, xj, xj))
     t_dense_head = _per_apply(dense_head_iter, (xj, xj))
@@ -353,6 +383,7 @@ def main():
                     "dense_us_per_apply": round(t_dense * 1e6, 3),
                     "dirac_roundtrip_us_per_apply": round(t_dirac * 1e6, 3),
                     "dirac_edges_per_s": round(dirac_nnz / t_dirac, 1),
+                    "lap_inner_step_us": round(t_inner * 1e6, 3),
                     "sddmm_xla_us_per_apply": round(t_sddmm_x * 1e6, 3),
                     "sddmm_pallas_us_per_apply": round(t_sddmm_p * 1e6, 3),
                     "dense_corr_head_us": round(t_dense_head * 1e6, 3),

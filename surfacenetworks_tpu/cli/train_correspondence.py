@@ -45,6 +45,8 @@ parser.add_argument("--deser-path", default=None)
 parser.add_argument("--num-vertices", type=int, default=7000)
 parser.add_argument("--operator-format", default="ell", choices=["ell", "bsr"],
                     help="bsr = RCM-reordered MXU block-sparse operators (lap trunks)")
+parser.add_argument("--remat", action="store_true",
+                    help="rematerialize trunk blocks in the backward pass (memory for compute)")
 parser.add_argument("--intrinsic", action="store_true",
                     help="use the intrinsic-Delaunay Laplacian (reference lap default, main.py:87)")
 parser.add_argument("--seed", type=int, default=17)
@@ -110,12 +112,24 @@ def main(argv=None):
             for Lk in s_["L_pyr"]
         )
         buckets.ell_k = buckets.ell_k_t = max(buckets.ell_k, kmax)
-    model = SiameseModel(model=args.model, layers=args.layer)
+    model = SiameseModel(model=args.model, layers=args.layer, remat=args.remat)
+
+    # Operators depend only on the mesh, not on the rotation augmentation —
+    # pack each sample's operator once and reuse it every step (host-side
+    # ELL/BSR packing of a 7000-vertex mesh per step would dominate epoch
+    # time; the reference caches the torch operator the same way,
+    # dense_correspondence/main.py:106-191).
+    _op_cache: dict = {}
 
     def batch_of(sample):
         s = dict(sample)
         s["input"] = _rotate(np.asarray(s["input"], np.float32), rng_np, args.xz_rotate, args.xy_rotate)
-        return correspondence_batch(s, buckets, model=model_key, fmt="bsr" if use_bsr else "ell")
+        batch = correspondence_batch(
+            s, buckets, model=model_key, fmt="bsr" if use_bsr else "ell",
+            operator=_op_cache.get(id(sample)),
+        )
+        _op_cache.setdefault(id(sample), batch.operator)
+        return batch
 
     b0 = batch_of(data[0])
     op_a = (b0.operator, jnp.asarray(b0.mask))

@@ -382,20 +382,25 @@ def arap_batch(
 
 
 def correspondence_batch(
-    sample: dict, buckets: Buckets, model: str = "lap", fmt: str = "ell"
+    sample: dict, buckets: Buckets, model: str = "lap", fmt: str = "ell",
+    operator=None,
 ) -> MeshBatch:
     """Single-shape batch (B=1) for the siamese trainer
     (dense_correspondence/main.py:106-191); targets = (G, label, label_inv).
 
     ``fmt='bsr'`` uses the MXU block-sparse operator — callers must RCM-reorder
     samples first (``rcm_reorder_sample``) and size buckets to a 128 multiple.
+    ``operator`` short-circuits packing with a previously built operator for
+    this sample (operators are rotation-invariant; trainers cache them).
     """
     N = buckets.n_vertices
     n = sample["V"].shape[0]
     inputs = pad_rows(np.asarray(sample["input"], np.float32), N)[None]
     mask = np.zeros((1, N, 1), dtype=np.float32)
     mask[0, :n] = 1.0
-    if model == "dirac":
+    if operator is not None:
+        pass
+    elif model == "dirac":
         coeffs = sample.get("dirac")
         if coeffs is None:
             coeffs = native.dirac_coeffs(sample["V"], sample["F"])

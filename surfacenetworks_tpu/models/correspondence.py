@@ -125,15 +125,22 @@ TRUNKS = {
 
 
 class SiameseModel(nn.Module):
-    """Shared trunk over both shapes; logits = FA @ FB^T (models.py:184-203)."""
+    """Shared trunk over both shapes; logits = FA @ FB^T (models.py:184-203).
+
+    ``remat=True`` (lap trunk) rematerializes blocks in the backward pass —
+    the memory knob for full-resolution scans."""
 
     model: str = "lap"
     layers: int = 15
+    remat: bool = False
 
     def setup(self):
         for key, cls in TRUNKS.items():
             if key in self.model:
-                self.trunk = cls(self.layers)
+                if key == "lap":
+                    self.trunk = cls(self.layers, remat=self.remat)
+                else:
+                    self.trunk = cls(self.layers)
                 return
         raise ValueError(f"unknown trunk {self.model!r}")
 
