@@ -12,6 +12,12 @@ all FLOPs land on the MXU.
 This replaces nothing in the reference (its CUDA kernel is a scalar-CSR
 gather design, utils/cuda/sparse_bmm.cu) — it is the TPU-first redesign of
 the same contract: ``out = L @ x`` with a stored-transpose backward.
+
+Block size: 128 is optimal and should not be tuned down.  Measured on the
+N=7000 / C=128 headline workload (v5e): bs=128 -> 21.9 us (52.8 TF/s
+effective), bs=64 -> 64 us (16.2 TF/s), bs=32 -> 79 us (11.7 TF/s) — the
+MXU efficiency loss of sub-128 tiles swamps the ~20% FLOP saving from
+tighter band coverage.
 """
 
 from __future__ import annotations
