@@ -45,17 +45,7 @@ def load_data(args):
     if args.synthetic:
         data = datasets.synthetic_mnist_dataset(args.synthetic, seed=args.seed)
     else:
-        raw = np.load(open(args.data_path, "rb"), allow_pickle=True, encoding="latin1")
-        data = []
-        for s in raw:
-            data.append(
-                {
-                    "V": np.asarray(s["V"], np.float32),
-                    "F": np.asarray(s["F"], np.int32),
-                    "L": s["L"].tocsr(),
-                    "label": int(s["label"]),
-                }
-            )
+        data = datasets.load_mnist_mesh_pickle(args.data_path)
     sep = max(1, int(len(data) * 0.8))
     return data[:sep], data[sep:]
 

@@ -82,10 +82,10 @@ def load_samples(args, log):
         random.shuffle(samples)
         sep = max(1, int(len(samples) * 0.8))
         return samples[:sep], samples[sep:]
-    names = datasets.scan_obj_tree(args.data_path)
+    names = datasets.scan_mesh_tree(args.data_path)
     log(f"SEQ:{len(names)}")
     if args.test_path != "@":
-        train_names, test_names = names, datasets.scan_obj_tree(args.test_path)
+        train_names, test_names = names, datasets.scan_mesh_tree(args.test_path)
     else:
         sep = len(names) // 10 * 8
         random.shuffle(names)
@@ -94,9 +94,12 @@ def load_samples(args, log):
     def load_all(paths):
         out = []
         for p in paths:
-            s = datasets.load_normal_sample(
-                p, operator=operator, hack=hack, uniform_mesh=args.uniform_mesh
-            )
+            if p.endswith(".npz"):  # preprocessed offline (cli.preprocess normal)
+                s = datasets.load_normal_npz(p)
+            else:
+                s = datasets.load_normal_sample(
+                    p, operator=operator, hack=hack, uniform_mesh=args.uniform_mesh
+                )
             if s is not None:
                 out.append(s)
         return out

@@ -44,8 +44,12 @@ def main(argv=None):
 
     if args.synthetic:
         data = datasets.synthetic_mnist_dataset(args.synthetic, seed=args.seed)
+    elif args.data_path:
+        # train_plus.np-style pickle (reference add_laplacian.py output or
+        # ``python -m surfacenetworks_tpu.cli.preprocess mnist``)
+        data = datasets.load_mnist_mesh_pickle(args.data_path)
     else:
-        raise SystemExit("provide --synthetic N (reference pickles need mesh_mnist data)")
+        raise SystemExit("provide --synthetic N or --data-path train_plus.np")
     sep = max(1, int(len(data) * 0.8))
     train_data, test_data = data[:sep], data[sep:]
     buckets = Buckets.for_samples(data)

@@ -318,3 +318,55 @@ def load_arap_sequence(path: str) -> list[dict]:
             f["L"] = frame["L"].astype(np.float32)
         frames.append(f)
     return frames
+
+
+def scan_mesh_tree(data_path: str) -> list[str]:
+    """Recursive mesh listing: preprocessed ``.npz`` (cli.preprocess normal)
+    take precedence over raw ``.obj`` (lazy-operator path)."""
+    npz = sorted(glob.glob(os.path.join(data_path, "**/*.npz"), recursive=True))
+    return npz if npz else scan_obj_tree(data_path)
+
+
+def load_normal_npz(path: str) -> dict:
+    """Load one preprocessed normal-prediction sample written by
+    ``cli.preprocess normal`` (operators already assembled offline)."""
+    import scipy.sparse as sp
+
+    with np.load(path, allow_pickle=True) as z:
+        V = z["V"].astype(np.float32)
+        sample = {
+            "V": V,
+            "F": z["F"].astype(np.int32),
+            "input": V,
+            "target": z["target"].astype(np.float32),
+            "name": path,
+        }
+        if "L_data" in z:
+            sample["L"] = sp.csr_matrix(
+                (z["L_data"], z["L_indices"], z["L_indptr"]), shape=tuple(z["L_shape"])
+            )
+        else:
+            sample["dirac"] = z["dirac"].item()
+    return sample
+
+
+def load_mnist_mesh_pickle(path: str) -> list[dict]:
+    """Load a ``train_plus.np``-style object pickle (reference
+    mesh_mnist/add_laplacian.py output or ``cli.preprocess mnist``): dicts
+    with V, F, label, lifted + flat operators."""
+    raw = np.load(open(path, "rb"), allow_pickle=True, encoding="latin1")
+    out = []
+    for s in raw:
+        d = dict(s)
+        d["V"] = np.asarray(d["V"], np.float32)
+        d["F"] = np.asarray(d["F"], np.int32)
+        d["label"] = int(d["label"])
+        for key in ("L", "flat_L"):
+            if key in d and d[key] is not None:
+                d[key] = d[key].tocsr()
+        if "flat_V" not in d:
+            flat = d["V"].copy()
+            flat[:, 2] = 0
+            d["flat_V"] = flat
+        out.append(d)
+    return out
