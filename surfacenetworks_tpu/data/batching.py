@@ -72,7 +72,6 @@ def _dirac_packing(samples) -> tuple[int, int]:
     count of vertices above base (the fv gather cost scales with the base
     slot count — see sparse/ell.py DiracOperator)."""
     valences = []
-    per_sample_over = []
     for s in samples:
         F = np.asarray(s["F"])
         if F.size == 0:

@@ -11,7 +11,16 @@ from surfacenetworks_tpu.dist.data_parallel import (
     replicate,
     shard_batch,
 )
-from surfacenetworks_tpu.dist import edge_partition, graph_parallel
+from surfacenetworks_tpu.dist import dirac_partition, edge_partition, graph_parallel
+from surfacenetworks_tpu.dist.dirac_partition import (
+    PartitionedDirac,
+    partition_dirac,
+    partitioned_dirac_fv,
+    partitioned_dirac_vf,
+    shard_partitioned_dirac,
+    sort_faces_for_partition,
+    stack_partitioned_dirac,
+)
 from surfacenetworks_tpu.dist.edge_partition import (
     PartitionedOperator,
     make_partitioned_spmm,
@@ -24,6 +33,7 @@ from surfacenetworks_tpu.dist.edge_partition import (
 )
 from surfacenetworks_tpu.dist.graph_parallel import (
     make_graph_sharded_apply,
+    partition_batch_dirac,
     partition_batch_operator,
     place_graph_batch,
 )

@@ -37,6 +37,12 @@ from surfacenetworks_tpu.dist.edge_partition import (
 )
 
 
+def _op_batched(op) -> bool:
+    """Whether a partitioned operator (Ell or Dirac) carries a mesh-batch axis."""
+    leaf = op.fwd.cols if hasattr(op, "fwd") else op.faces
+    return np.ndim(leaf) == 3
+
+
 def partition_batch_operator(
     Ls,
     n_parts: int,
@@ -52,6 +58,36 @@ def partition_batch_operator(
         halo = max(suggest_halo(L) for L in Ls)
     ops = [partition_operator(L, n_parts, halo=halo, k=k, n_rows=n_rows, axis=axis) for L in Ls]
     return stack_partitioned(ops)
+
+
+def partition_batch_dirac(
+    coeffs_list,
+    n_parts: int,
+    n_vertices: int,
+    n_faces: int,
+    max_valence: int | None = None,
+    axis: str = "graph",
+):
+    """Partition a list of per-mesh ``DiracCoeffs`` (vertices RCM-reordered,
+    faces sorted by ``sort_faces_for_partition``) into one batched
+    ``PartitionedDirac`` with shared (max-need) halos."""
+    from surfacenetworks_tpu.dist import dirac_partition as dp
+
+    ops = [
+        dp.partition_dirac(c, n_parts, n_vertices, n_faces, max_valence=max_valence, axis=axis)
+        for c in coeffs_list
+    ]
+    halo_v = max(o.halo_v for o in ops)
+    halo_f = max(o.halo_f for o in ops)
+    if any(o.halo_v != halo_v or o.halo_f != halo_f for o in ops):
+        ops = [
+            dp.partition_dirac(
+                c, n_parts, n_vertices, n_faces,
+                halo_v=halo_v, halo_f=halo_f, max_valence=max_valence, axis=axis,
+            )
+            for c in coeffs_list
+        ]
+    return dp.stack_partitioned_dirac(ops)
 
 
 def make_graph_sharded_apply(
@@ -76,9 +112,10 @@ def make_graph_sharded_apply(
             return apply_fn(params, op, mask, inputs)
 
     def run(params, op, mask, inputs):
-        # operator leaves may be flat [N, K] or mesh-batched [B, N, K]
-        batched_op = np.ndim(op.fwd.cols) == 3
-        op_spec = P(batch_axis, vertex_axis) if batched_op else P(vertex_axis)
+        # operator leaves may be flat [N, K] or mesh-batched [B, N, K]; the
+        # single spec acts as a pytree prefix over all operator leaves
+        # (row-sharded alike, whether an Ell or a Dirac partition)
+        op_spec = P(batch_axis, vertex_axis) if _op_batched(op) else P(vertex_axis)
         fn = jax.shard_map(
             local_fn,
             mesh=mesh,
@@ -100,8 +137,9 @@ def place_graph_batch(
     """Device-put the partitioned operator and the ``[B, N, ...]`` arrays with
     the shardings ``make_graph_sharded_apply`` expects.  Returns (op, dict)."""
     row_sh = NamedSharding(mesh, P(batch_axis, vertex_axis))
-    batched = np.ndim(op.fwd.cols) == 3
-    op_sh = NamedSharding(mesh, P(batch_axis, vertex_axis) if batched else P(vertex_axis))
+    op_sh = NamedSharding(
+        mesh, P(batch_axis, vertex_axis) if _op_batched(op) else P(vertex_axis)
+    )
     op_d = jax.tree_util.tree_map(lambda a: jax.device_put(a, op_sh), op)
     arrays_d = {k: jax.device_put(v, row_sh) for k, v in arrays.items()}
     return op_d, arrays_d

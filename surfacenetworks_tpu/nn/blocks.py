@@ -45,6 +45,10 @@ def _edge_partition_module():
     return sys.modules.get("surfacenetworks_tpu.dist.edge_partition")
 
 
+def _dirac_partition_module():
+    return sys.modules.get("surfacenetworks_tpu.dist.dirac_partition")
+
+
 def apply_operator(op: Any, x: jnp.ndarray) -> jnp.ndarray:
     """Dispatch ``L @ x`` over the supported operator representations.
 
@@ -66,9 +70,17 @@ def apply_operator(op: Any, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_dirac_vf(op: Any, v: jnp.ndarray) -> jnp.ndarray:
-    """``Di @ v`` (vertices -> faces) for structured / ELL / dense operators."""
+    """``Di @ v`` (vertices -> faces) for structured / ELL / dense operators.
+
+    ``PartitionedDirac`` (edge-partitioned row shards) dispatches to the
+    halo-exchange apply — valid only inside a graph-sharded shard_map body,
+    where ``v`` is the local vertex-row shard.
+    """
     if isinstance(op, DiracOperator):
         return dirac_apply_vf(op, v)
+    dp = _dirac_partition_module()
+    if dp is not None and isinstance(op, dp.PartitionedDirac):
+        return dp.partitioned_dirac_vf(op, v)
     di, _ = op
     *lead, n, c = v.shape
     vq = v.reshape(*lead, n * 4, c // 4)
@@ -84,6 +96,9 @@ def apply_dirac_fv(op: Any, f: jnp.ndarray) -> jnp.ndarray:
     """``DiA @ f`` (faces -> vertices)."""
     if isinstance(op, DiracOperator):
         return dirac_apply_fv(op, f)
+    dp = _dirac_partition_module()
+    if dp is not None and isinstance(op, dp.PartitionedDirac):
+        return dp.partitioned_dirac_fv(op, f)
     _, dia = op
     *lead, m, c = f.shape
     fq = f.reshape(*lead, m * 4, c // 4)
@@ -96,8 +111,14 @@ def apply_dirac_fv(op: Any, f: jnp.ndarray) -> jnp.ndarray:
 
 
 def dirac_num_faces(op) -> int:
-    """Face count of a Dirac operator: structured table or dense (Di, DiA) pair."""
+    """Face count of a Dirac operator: structured table or dense (Di, DiA)
+    pair.  For a ``PartitionedDirac`` inside a shard_map body this is the
+    LOCAL face-shard size — exactly what the zero-initialized face stream
+    needs there."""
     if isinstance(op, DiracOperator):
+        return op.faces.shape[-2]
+    dp = _dirac_partition_module()
+    if dp is not None and isinstance(op, dp.PartitionedDirac):
         return op.faces.shape[-2]
     di, _ = op
     return di.shape[-2] // 4
