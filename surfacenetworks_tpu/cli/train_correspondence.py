@@ -49,6 +49,10 @@ parser.add_argument("--remat", action="store_true",
                     help="rematerialize trunk blocks in the backward pass (memory for compute)")
 parser.add_argument("--intrinsic", action="store_true",
                     help="use the intrinsic-Delaunay Laplacian (reference lap default, main.py:87)")
+parser.add_argument("--graph-parallel", type=int, default=0,
+                    help="edge-partition each trunk operator's rows across this many "
+                         "devices on the 'graph' mesh axis (lap trunk; ring halo "
+                         "exchange per SpMM; needs >= that many JAX devices)")
 parser.add_argument("--seed", type=int, default=17)
 config.add_config_flags(parser)
 
@@ -100,11 +104,18 @@ def main(argv=None):
         for s_ in data:
             s_["L_pyr"] = geo_.amp_pyramid(s_["L"], levels=3)
     use_bsr = args.operator_format == "bsr" and model_key == "lap"
-    if use_bsr:
+    n_gp = args.graph_parallel if args.graph_parallel > 1 else 0
+    if n_gp and args.model != "lap":
+        raise SystemExit("--graph-parallel supports the lap trunk only")
+    if n_gp and use_bsr:
+        raise SystemExit("--graph-parallel partitions ELL operators; drop --operator-format bsr")
+    if use_bsr or n_gp:
         from surfacenetworks_tpu.data import rcm_reorder_sample
 
         data = [rcm_reorder_sample(s) for s in data]
-    buckets = Buckets.for_samples(data, multiple=128 if use_bsr else 8)
+    buckets = Buckets.for_samples(
+        data, multiple=128 if use_bsr else (8 * n_gp if n_gp else 8)
+    )
     if model_key == "amp":
         kmax = max(
             int(np.diff(Lk.tocsr().indptr).max())
@@ -121,20 +132,50 @@ def main(argv=None):
     # dense_correspondence/main.py:106-191).
     _op_cache: dict = {}
 
+    gmesh = None
+    if n_gp:
+        # graph-parallel: each sample's (RCM-banded) operator is row-partitioned
+        # over the 'graph' mesh axis with the narrowest sufficient halo; the
+        # whole trunk runs inside one shard_map (ring ppermute per SpMM,
+        # psum'd global_average / BN statistics) — SURVEY.md §2.9's
+        # context-parallel analogue for the FAUST hot spot (main.py:193,320).
+        from surfacenetworks_tpu.dist import edge_partition, graph_parallel, make_mesh
+
+        gmesh = make_mesh(n_data=1, n_graph=n_gp)
+
+        def partitioned_op_of(sample):
+            N = buckets.n_vertices
+            halo = min(edge_partition.suggest_halo(sample["L"]), N // n_gp)
+            pop = graph_parallel.partition_batch_operator(
+                [sample["L"]], n_gp, n_rows=N, halo=halo, k=buckets.ell_k
+            )
+            return edge_partition.shard_partitioned(gmesh, pop)
+
     def batch_of(sample):
         s = dict(sample)
         s["input"] = _rotate(np.asarray(s["input"], np.float32), rng_np, args.xz_rotate, args.xy_rotate)
+        op = _op_cache.get(id(sample))
+        if op is None and n_gp:
+            op = partitioned_op_of(sample)
         batch = correspondence_batch(
             s, buckets, model=model_key, fmt="bsr" if use_bsr else "ell",
-            operator=_op_cache.get(id(sample)),
+            operator=op,
         )
         _op_cache.setdefault(id(sample), batch.operator)
         return batch
 
     b0 = batch_of(data[0])
-    op_a = (b0.operator, jnp.asarray(b0.mask))
+    if n_gp:
+        # init with a plain ELL operator (param shapes don't depend on the
+        # operator representation; the partitioned op only works in shard_map)
+        b_init = correspondence_batch(dict(data[0]), buckets, model=model_key, fmt="ell")
+        op_a = (b_init.operator, jnp.asarray(b_init.mask))
+        init_inputs = jnp.asarray(b_init.inputs)
+    else:
+        op_a = (b0.operator, jnp.asarray(b0.mask))
+        init_inputs = jnp.asarray(b0.inputs)
     params = model.init(
-        jax.random.key(0), op_a, op_a, jnp.asarray(b0.inputs), jnp.asarray(b0.inputs)
+        jax.random.key(0), op_a, op_a, init_inputs, init_inputs
     )["params"]
     log("Num parameters {}".format(count_params(params)))
     state = TrainState.create(params, optim.adam(float(args.lr), weight_decay=1e-5))
@@ -151,10 +192,29 @@ def main(argv=None):
 
     loss_fn = LOSSES[args.loss]
 
+    if n_gp:
+        def trunk_apply(params, op, mask, x):
+            return model.apply(
+                {"params": params}, op, mask, x,
+                method=lambda m, o, mk, xx: m.trunk(o, mk, xx),
+            )
+
+        sharded_trunk = graph_parallel.make_graph_sharded_apply(
+            gmesh, trunk_apply, batch_axis=None
+        )
+
+        def forward(params, opx, maskx, inx, opy, masky, iny):
+            fa = sharded_trunk(params, opx, maskx, inx)
+            fb = sharded_trunk(params, opy, masky, iny)
+            return jnp.einsum("bnc,bmc->bnm", fa, fb, preferred_element_type=jnp.float32)
+    else:
+        def forward(params, opx, maskx, inx, opy, masky, iny):
+            return model.apply({"params": params}, (opx, maskx), (opy, masky), inx, iny)
+
     @jax.jit
     def train_step(state, opx, maskx, inx, opy, masky, iny, GAB, na, nb):
         def objective(params):
-            out = model.apply({"params": params}, (opx, maskx), (opy, masky), inx, iny)
+            out = forward(params, opx, maskx, inx, opy, masky, iny)
             logits = out[0]
             return loss_fn(logits, GAB), ()
 
@@ -163,7 +223,7 @@ def main(argv=None):
 
     @jax.jit
     def eval_step(params, opx, maskx, inx, opy, masky, iny, GAB, lA, lB, liB, GB):
-        out = model.apply({"params": params}, (opx, maskx), (opy, masky), inx, iny)
+        out = forward(params, opx, maskx, inx, opy, masky, iny)
         logits = out[0]
         metrics = losses.corr_accuracy_metrics(
             logits[0] if logits.ndim == 3 else logits,

@@ -39,6 +39,19 @@ Where Pallas DOES win here: the windowed ``sddmm`` below (178 us vs
 351 us for the XLA gather formulation at the same shape) — computing a
 dense score tile on the MXU and sampling it beats HBM row gathers.
 
+Dirac banded-MXU verdict (round 2, measured): a windowed Pallas kernel for
+the Dirac applies CANNOT win either and is intentionally not shipped.  The
+Hamilton product is linear, so ``Di v`` decomposes into 4 banded scalar
+matmuls (one per quaternion coefficient component) + a fixed quarter-lane
+recombination — all MXU work, no HBM gathers.  Measured at FAUST scale
+(N=7000/M=14080/C=128, RCM vertices + min-vertex-sorted faces, windows
+vf=384 / fv=768): roundtrip **619 us** at default MXU precision (4.3e-3 rel
+error) and 839 us at HIGHEST, vs **~240 us** for the flat-lane gather path
+(sparse/ops.py) — the fv window is wide enough that the per-tile densify +
+4 matmuls dwarf the gathers they replace.  The gather path runs at the
+device's gather-issue rate (~98K row-gathers x ~2.4 ns), which is the
+operative speed-of-light for this operator shape.
+
 Falls back to interpreter mode automatically off-TPU so CPU tests exercise
 the same code path.
 """
