@@ -43,6 +43,10 @@ parser.add_argument("--uniform-mesh", action="store_true")
 parser.add_argument("--additional-opt", default=[], action="append",
                     choices=["hack1", "hack0", "amsgrad", "intrinsic", ""])
 parser.add_argument("--operator-format", default="auto", choices=["auto", "ell", "bsr", "dense"])
+parser.add_argument("--data-parallel", type=int, default=0,
+                    help="shard the mesh batch across this many devices on the 'data' "
+                         "mesh axis (params replicated, GSPMD gradient all-reduce); "
+                         "batch size must be divisible by it")
 parser.add_argument("--cascade-levels", type=int, default=4, help="pyramid depth for --model cas")
 parser.add_argument("--result-prefix", default="debug")
 parser.add_argument("--result-dir", default="results/normal_predict")
@@ -186,6 +190,44 @@ def main(argv=None):
         (loss, mad), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
         return state.apply_gradients(grads), loss, mad
 
+    n_dp = args.data_parallel if args.data_parallel > 1 else 0
+    if n_dp:
+        if args.model == "cas":
+            raise SystemExit("--data-parallel does not support the cascade model")
+        if args.batch_size % n_dp:
+            raise SystemExit(f"batch size {args.batch_size} not divisible by --data-parallel {n_dp}")
+        from surfacenetworks_tpu.dist import make_dp_train_step, make_mesh, replicate, shard_batch
+
+        dmesh = make_mesh(n_data=n_dp, n_graph=1)
+        state = replicate(dmesh, state)
+
+        def dp_apply(params, b):
+            return model.apply({"params": params}, b["operator"], b["mask"], b["inputs"])
+
+        def dp_loss(out, b):
+            loss = losses.normal_cosine_loss(out, b["mask"], b["targets"])
+            return loss, {"mad": losses.mean_angle_deviation(out, b["mask"], b["targets"])}
+
+        dp_step = make_dp_train_step(dp_apply, dp_loss, dmesh, donate=False)
+
+    def run_train_step(state, batch):
+        if n_dp:
+            b = shard_batch(dmesh, {
+                "operator": batch.operator,
+                "mask": jnp.asarray(batch.mask),
+                "inputs": jnp.asarray(batch.inputs),
+                "targets": jnp.asarray(batch.targets),
+            })
+            new_state, metrics = dp_step(state, b)
+            return new_state, metrics["loss"], metrics["mad"]
+        return train_step(
+            state,
+            batch.operator,
+            jnp.asarray(batch.mask),
+            jnp.asarray(batch.inputs),
+            jnp.asarray(batch.targets),
+        )
+
     @jax.jit
     def eval_step(params, operator, mask, inputs, targets):
         out = model.apply({"params": params}, operator, mask, inputs)
@@ -208,13 +250,7 @@ def main(argv=None):
             loss_sum = mad_sum = 0.0
             for _ in range(args.num_updates):
                 batch = make_batch(train_sampler.next_batch())
-                state, loss, mad = train_step(
-                    state,
-                    batch.operator,
-                    jnp.asarray(batch.mask),
-                    jnp.asarray(batch.inputs),
-                    jnp.asarray(batch.targets),
-                )
+                state, loss, mad = run_train_step(state, batch)
                 loss_sum += float(loss)
                 mad_sum += float(mad)
                 if not np.isfinite(loss_sum):

@@ -75,6 +75,22 @@ def test_partition_rejects_bandwidth_violation():
         edge_partition.partition_ell(L, n_parts=4, halo=2, k=16, n_rows=200)
 
 
+def test_train_normal_cli_data_parallel_smoke(tmp_path):
+    """--data-parallel 2 through the normal trainer: batched operators and
+    feature tensors shard on 'data', params replicated, both model families."""
+    from surfacenetworks_tpu.cli import train_normal
+
+    for model in ("lap", "dirac"):
+        train_normal.main(
+            [
+                "--synthetic", "6", "--model", model, "--layer", "2",
+                "--batch-size", "2", "--num-epoch", "1", "--num-updates", "2",
+                "--data-parallel", "2", "--debug",
+                "--result-dir", str(tmp_path / model),
+            ]
+        )
+
+
 def test_halo_partitioned_model_layer():
     """A LapResNet-style layer computed through the partitioned op matches the
     single-device ELL path."""
