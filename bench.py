@@ -232,7 +232,19 @@ def _siamese_step_time(n_points=7000, layers=15, channels=128, iters=4):
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: the deep-trunk train-step timings compile
+    # for minutes on first run; cached executables cut repeat wall time ~10x.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from surfacenetworks_tpu import sparse as sps

@@ -33,6 +33,9 @@ parser.add_argument("--data-path", default="as_rigid_as_possible/data_plus")
 parser.add_argument("--id", dest="result_prefix", default="test")
 parser.add_argument("--result-dir", default="results/arap")
 parser.add_argument("--lr", type=float, default=1e-3)
+parser.add_argument("--data-parallel", type=int, default=0,
+                    help="shard the sequence batch across this many devices on the "
+                         "'data' mesh axis (params replicated; batch size divisible)")
 parser.add_argument("--seed", type=int, default=17)
 config.add_config_flags(parser)
 
@@ -123,14 +126,42 @@ def main(argv=None):
         out = out * jnp.broadcast_to(mask, out.shape)
         return losses.smooth_l1_sum(out, targets, inputs.shape[0])
 
+    n_dp = args.data_parallel if args.data_parallel > 1 else 0
+    if n_dp:
+        if args.batch_size % n_dp:
+            raise SystemExit(f"batch size {args.batch_size} not divisible by --data-parallel {n_dp}")
+        from surfacenetworks_tpu.dist import make_dp_train_step, make_mesh, replicate, shard_batch
+
+        dmesh = make_mesh(n_data=n_dp, n_graph=1)
+        state = replicate(dmesh, state)
+
+        def dp_apply(params, b):
+            out = model.apply({"params": params}, b["operator"], b["mask"], b["inputs"])
+            return out * jnp.broadcast_to(b["mask"], out.shape)
+
+        def dp_loss(out, b):
+            return losses.smooth_l1_sum(out, b["targets"], b["inputs"].shape[0]), {}
+
+        dp_step = make_dp_train_step(dp_apply, dp_loss, dmesh, donate=False)
+
+    def run_train_step(state, b):
+        if n_dp:
+            sb = shard_batch(dmesh, {
+                "operator": b.operator, "mask": jnp.asarray(b.mask),
+                "inputs": jnp.asarray(b.inputs), "targets": jnp.asarray(b.targets),
+            })
+            new_state, metrics = dp_step(state, sb)
+            return new_state, metrics["loss"]
+        return train_step(
+            state, b.operator, jnp.asarray(b.mask), jnp.asarray(b.inputs),
+            jnp.asarray(b.targets),
+        )
+
     for epoch in range(args.num_epoch):
         loss_sum = 0.0
         for _ in range(args.num_updates):
             b = sample_train()
-            state, loss = train_step(
-                state, b.operator, jnp.asarray(b.mask), jnp.asarray(b.inputs),
-                jnp.asarray(b.targets),
-            )
+            state, loss = run_train_step(state, b)
             loss_sum += float(loss)
         log(f"Train epoch {epoch}, loss {loss_sum / args.num_updates}")
 

@@ -29,6 +29,9 @@ parser.add_argument("--data-path", default=None, help="train_plus.np-style pickl
 parser.add_argument("--lr", type=float, default=1e-3)
 parser.add_argument("--result-prefix", default="mnist")
 parser.add_argument("--result-dir", default="results/mesh_mnist")
+parser.add_argument("--data-parallel", type=int, default=0,
+                    help="shard the mesh batch across this many devices on the "
+                         "'data' mesh axis (params replicated; batch size divisible)")
 parser.add_argument("--seed", type=int, default=17)
 config.add_config_flags(parser)
 
@@ -89,6 +92,40 @@ def main(argv=None):
         logp = model.apply({"params": params}, inputs, operator, mask, deterministic=True)
         return losses.nll_loss(logp, targets), losses.accuracy(logp, targets)
 
+    n_dp = args.data_parallel if args.data_parallel > 1 else 0
+    if n_dp:
+        if args.batch_size % n_dp:
+            raise SystemExit(f"batch size {args.batch_size} not divisible by --data-parallel {n_dp}")
+        from surfacenetworks_tpu.dist import make_dp_train_step, make_mesh, replicate, shard_batch
+
+        dmesh = make_mesh(n_data=n_dp, n_graph=1)
+        state = replicate(dmesh, state)
+
+        def dp_apply(params, b):
+            return model.apply(
+                {"params": params}, b["inputs"], b["operator"], b["mask"],
+                deterministic=False, rngs={"dropout": b["rng"]},
+            )
+
+        def dp_loss(logp, b):
+            return losses.nll_loss(logp, b["targets"]), {"acc": losses.accuracy(logp, b["targets"])}
+
+        dp_step = make_dp_train_step(dp_apply, dp_loss, dmesh, donate=False)
+
+    def run_train_step(state, sub, b):
+        if n_dp:
+            sb = shard_batch(dmesh, {
+                "operator": b.operator, "inputs": jnp.asarray(b.inputs),
+                "mask": jnp.asarray(b.mask), "targets": jnp.asarray(b.targets),
+                "rng": sub,
+            })
+            new_state, metrics = dp_step(state, sb)
+            return new_state, metrics["loss"], metrics["acc"]
+        return train_step(
+            state, sub, b.operator, jnp.asarray(b.inputs), jnp.asarray(b.mask),
+            jnp.asarray(b.targets),
+        )
+
     rng = jax.random.key(args.seed)
     train_sampler = EpochSampler(train_data, args.batch_size, seed=args.seed)
     test_sampler = EpochSampler(test_data, args.batch_size, shuffle=False)
@@ -100,10 +137,7 @@ def main(argv=None):
         for _ in range(steps_per_epoch):
             rng, sub = jax.random.split(rng)
             b = make_batch(train_sampler.next_batch())
-            state, loss, acc = train_step(
-                state, sub, b.operator, jnp.asarray(b.inputs), jnp.asarray(b.mask),
-                jnp.asarray(b.targets),
-            )
+            state, loss, acc = run_train_step(state, sub, b)
             loss_sum += float(loss)
             acc_sum += float(acc)
         log(f"Train epoch {epoch}, loss {loss_sum / steps_per_epoch}, acc {acc_sum / steps_per_epoch}")

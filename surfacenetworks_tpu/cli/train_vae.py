@@ -32,6 +32,9 @@ parser.add_argument("--lr", type=float, default=1e-3)
 parser.add_argument("--dump-ply", type=int, default=0, help="dump N sample PLYs per epoch")
 parser.add_argument("--result-prefix", default="vae")
 parser.add_argument("--result-dir", default="results/mesh_mnist_vae")
+parser.add_argument("--data-parallel", type=int, default=0,
+                    help="shard the mesh batch across this many devices on the "
+                         "'data' mesh axis (params replicated; batch size divisible)")
 parser.add_argument("--seed", type=int, default=17)
 config.add_config_flags(parser)
 
@@ -96,6 +99,44 @@ def main(argv=None):
     def decode(params, fx, noise, fop, mask):
         return model.apply({"params": params}, fx, noise, fop, mask, method=type(model).decode)
 
+    n_dp = args.data_parallel if args.data_parallel > 1 else 0
+    if n_dp:
+        if args.batch_size % n_dp:
+            raise SystemExit(f"batch size {args.batch_size} not divisible by --data-parallel {n_dp}")
+        from surfacenetworks_tpu.dist import make_dp_train_step, make_mesh, replicate, shard_batch
+
+        dmesh = make_mesh(n_data=n_dp, n_graph=1)
+        state = replicate(dmesh, state)
+
+        def dp_apply(params, b):
+            return model.apply(
+                {"params": params}, b["x"], b["fx"], b["op"], b["fop"], b["mask"],
+                rngs={"sample": b["rng"]},
+            )
+
+        def dp_loss(outputs, b):
+            recon_mu, recon_logvar, z, mu, logvar = outputs
+            bce, kld = losses.vae_elbo_terms(
+                recon_mu, recon_logvar, b["mask"], b["x"], z, mu, logvar
+            )
+            return bce + kld * b["kld_weight"], {"bce": bce, "kld": kld}
+
+        dp_step = make_dp_train_step(dp_apply, dp_loss, dmesh, donate=False)
+
+    def run_train_step(state, sub, x, fx, op, fop, mask, kw, train=True):
+        if n_dp:
+            sb = shard_batch(dmesh, {
+                "x": x, "fx": fx, "op": op, "fop": fop, "mask": mask,
+                "rng": sub, "kld_weight": kw,
+            })
+            new_state, metrics = dp_step(state, sb)
+            out_state = new_state if train else state
+            return out_state, metrics["loss"], metrics["bce"], metrics["kld"], None
+        result = train_step(state, sub, x, fx, op, fop, mask, kw)
+        if not train:
+            return (state,) + result[1:]
+        return result
+
     rng = jax.random.key(args.seed)
     fixed_noise = jax.random.normal(jax.random.key(999), (args.batch_size, 1, 100))
     train_sampler = EpochSampler(train_data, args.batch_size, seed=args.seed)
@@ -110,7 +151,7 @@ def main(argv=None):
             b = make_batch(train_sampler.next_batch())
             x, fx, op, fop, mask = unpack(b)
             kw = jnp.asarray(min(epoch / 10.0, 1.0), jnp.float32)
-            state, loss, bce, kld, recon = train_step(state, sub, x, fx, op, fop, mask, kw)
+            state, loss, bce, kld, recon = run_train_step(state, sub, x, fx, op, fop, mask, kw)
             tl += float(loss); tb += float(bce); tk += float(kld)
         log(f"Train epoch {epoch}, loss {tl/steps}, bce {tb/steps}, kld {tk/steps}")
 
@@ -119,7 +160,9 @@ def main(argv=None):
             rng, sub = jax.random.split(rng)
             b = make_batch(test_sampler.next_batch())
             x, fx, op, fop, mask = unpack(b)
-            _, loss, bce, kld, recon = train_step(state, sub, x, fx, op, fop, mask, jnp.asarray(1.0))
+            _, loss, bce, kld, recon = run_train_step(
+                state, sub, x, fx, op, fop, mask, jnp.asarray(1.0), train=False
+            )
             tl += float(loss); tb += float(bce); tk += float(kld)
         log(f"Test epoch {epoch}, loss {tl/test_steps}, bce {tb/test_steps}, kld {tk/test_steps}")
 

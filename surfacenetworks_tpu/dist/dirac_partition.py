@@ -24,7 +24,8 @@ partition's extended frame ``[halo | local | halo]`` (same scheme as
 ``edge_partition.partition_ell``).  Narrow halos require the mesh to be
 RCM-vertex-reordered with faces sorted by minimum vertex index
 (``sort_faces_for_partition``) so face index correlates with vertex index;
-``required_halos`` measures the exact need and the packer validates it.
+the packer measures the exact need per direction and validates any
+caller-supplied halo against it.
 
 Operators are constants (reference ``sparse_bmm_func.py:62``): both VJPs
 multiply by pre-stored adjoint quaternion tables, never differentiating

@@ -91,6 +91,34 @@ def test_train_normal_cli_data_parallel_smoke(tmp_path):
         )
 
 
+def test_task_trainers_data_parallel_smoke(tmp_path):
+    """--data-parallel 2 through the ARAP, MNIST, and VAE trainers (each has
+    its own batch layout: sequences, labels+dropout rng, dual operators)."""
+    from surfacenetworks_tpu.cli import train_arap, train_mnist, train_vae
+
+    train_arap.main(
+        [
+            "--synthetic", "4", "--model", "lap", "--layer", "2",
+            "--batch-size", "2", "--num-epoch", "1", "--num-updates", "2",
+            "--data-parallel", "2", "--result-dir", str(tmp_path / "arap"),
+        ]
+    )
+    train_mnist.main(
+        [
+            "--synthetic", "8", "--model", "lap", "--layer", "2",
+            "--batch-size", "4", "--num-epoch", "1",
+            "--data-parallel", "2", "--result-dir", str(tmp_path / "mnist"),
+        ]
+    )
+    train_vae.main(
+        [
+            "--synthetic", "8", "--model", "lap", "--num-layers", "2",
+            "--batch-size", "4", "--num-epoch", "1",
+            "--data-parallel", "2", "--result-dir", str(tmp_path / "vae"),
+        ]
+    )
+
+
 def test_halo_partitioned_model_layer():
     """A LapResNet-style layer computed through the partitioned op matches the
     single-device ELL path."""
