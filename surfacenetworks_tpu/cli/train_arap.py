@@ -180,7 +180,7 @@ def main(argv=None):
             os.path.join(
                 args.result_dir, "pts", f"{args.result_prefix}_{args.layer}_{args.model}.msgpack"
             ),
-            state.params, state.opt_state, epoch,
+            state.params, state.opt_state, epoch, int(state.step),
         )
 
 

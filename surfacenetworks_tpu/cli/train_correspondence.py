@@ -185,8 +185,10 @@ def main(argv=None):
         path = args.deser_path or ckpt_path
         if os.path.isfile(path):
             log("Continue...")
-            params, opt_state, _ = checkpoint.restore_training(path, state.params, state.opt_state)
-            state = state.replace(params=params)
+            params, opt_state, _, step = checkpoint.restore_training(
+                path, state.params, state.opt_state
+            )
+            state = state.replace(params=params, step=jnp.asarray(step, jnp.int32))
             if opt_state is not None:
                 state = state.replace(opt_state=opt_state)
 
@@ -292,7 +294,7 @@ def main(argv=None):
             log(f"Test epoch {epoch}, loss {loss_sum / len(pairs)}, {mstr}")
 
         if epoch % 10 == 9:
-            checkpoint.save_checkpoint(ckpt_path, state.params, state.opt_state, epoch)
+            checkpoint.save_checkpoint(ckpt_path, state.params, state.opt_state, epoch, int(state.step))
 
 
 if __name__ == "__main__":

@@ -157,7 +157,7 @@ def main(argv=None):
         log(f"Test epoch {epoch}, loss {loss_sum / test_steps}, acc {acc_sum / test_steps}")
         checkpoint.save_checkpoint(
             os.path.join(args.result_dir, "pts", f"{args.result_prefix}.msgpack"),
-            state.params, state.opt_state, epoch,
+            state.params, state.opt_state, epoch, int(state.step),
         )
 
 

@@ -170,10 +170,10 @@ def main(argv=None):
     start_epoch = args.start_epoch
     if args.deser:
         log("Continue...")
-        params, opt_state, start_epoch = checkpoint.restore_training(
+        params, opt_state, start_epoch, step = checkpoint.restore_training(
             args.deser, state.params, state.opt_state
         )
-        state = state.replace(params=params)
+        state = state.replace(params=params, step=jnp.asarray(step, jnp.int32))
         if opt_state is not None:
             state = state.replace(opt_state=opt_state)
         else:
@@ -295,9 +295,9 @@ def main(argv=None):
         if args.only_forward_test:
             return
         if epoch % 10 == 9 and not args.debug:
-            checkpoint.save_checkpoint(ckpt_path, state.params, state.opt_state, epoch)
+            checkpoint.save_checkpoint(ckpt_path, state.params, state.opt_state, epoch, int(state.step))
 
-    checkpoint.save_checkpoint(ckpt_path, state.params, state.opt_state, args.num_epoch - 1)
+    checkpoint.save_checkpoint(ckpt_path, state.params, state.opt_state, args.num_epoch - 1, int(state.step))
     log("done")
 
 

@@ -181,7 +181,7 @@ def main(argv=None):
                 )
         checkpoint.save_checkpoint(
             os.path.join(args.result_dir, "pts", f"{args.result_prefix}.msgpack"),
-            state.params, state.opt_state, epoch,
+            state.params, state.opt_state, epoch, int(state.step),
         )
 
 

@@ -17,10 +17,13 @@ import numpy as np
 from flax import serialization
 
 
-def save_checkpoint(path: str, params: Any, opt_state: Any = None, epoch: int = 0) -> None:
+def save_checkpoint(
+    path: str, params: Any, opt_state: Any = None, epoch: int = 0, step: int = 0
+) -> None:
     payload = {
         "params": serialization.to_state_dict(jax.device_get(params)),
         "epoch": np.asarray(epoch),
+        "step": np.asarray(int(step)),
     }
     if opt_state is not None:
         payload["opt_state"] = serialization.to_state_dict(jax.device_get(opt_state))
@@ -47,15 +50,19 @@ def fuzzy_restore(params: Any, loaded_state_dict: dict) -> Any:
 
 
 def restore_training(path: str, params: Any, opt_state: Any = None):
-    """Restore (params, opt_state, start_epoch) from a checkpoint file.
+    """Restore (params, opt_state, start_epoch, step) from a checkpoint file.
 
     Missing/mismatched params fall back to their initialized values; the
     optimizer state is restored only when structurally compatible (else the
-    reference's 'Optimizer is not loaded' behaviour applies).
+    reference's 'Optimizer is not loaded' behaviour applies).  ``step`` is
+    the optimizer step count (TrainState.step) so step-based LR schedules
+    resume exactly; checkpoints written before round 3 lack it and restore
+    as 0.
     """
     ckpt = load_checkpoint(path)
     params = fuzzy_restore(params, ckpt["params"])
     epoch = int(ckpt.get("epoch", 0))
+    step = int(ckpt.get("step", 0))
     if opt_state is not None and "opt_state" in ckpt:
         try:
             opt_state = serialization.from_state_dict(opt_state, ckpt["opt_state"])
@@ -63,7 +70,7 @@ def restore_training(path: str, params: Any, opt_state: Any = None):
             opt_state = None
     else:
         opt_state = None
-    return params, opt_state, epoch
+    return params, opt_state, epoch, step
 
 
 def _flatten(d: dict, prefix: str = "") -> dict:

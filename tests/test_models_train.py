@@ -149,10 +149,11 @@ def test_checkpoint_roundtrip_and_fuzzy(tmp_path):
         jax.random.key(1), batch.operator, jnp.asarray(batch.mask), jnp.asarray(batch.inputs)
     )["params"]
     path = str(tmp_path / "ck.msgpack")
-    checkpoint.save_checkpoint(path, params, epoch=7)
+    checkpoint.save_checkpoint(path, params, epoch=7, step=4321)
     params2 = jax.tree.map(jnp.zeros_like, params)
-    restored, _, epoch = checkpoint.restore_training(path, params2)
+    restored, _, epoch, step = checkpoint.restore_training(path, params2)
     assert epoch == 7
+    assert step == 4321  # schedule-correct resume (TrainState.step roundtrips)
     a = jax.tree.leaves(params)[0]
     b = jax.tree.leaves(restored)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
@@ -162,7 +163,7 @@ def test_checkpoint_roundtrip_and_fuzzy(tmp_path):
     params3 = model3.init(
         jax.random.key(2), batch.operator, jnp.asarray(batch.mask), jnp.asarray(batch.inputs)
     )["params"]
-    merged, _, _ = checkpoint.restore_training(path, params3)
+    merged, _, _, _ = checkpoint.restore_training(path, params3)
     np.testing.assert_allclose(
         np.asarray(merged["conv1"]["fc"]["kernel"]),
         np.asarray(params["conv1"]["fc"]["kernel"]),
