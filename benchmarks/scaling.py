@@ -5,8 +5,24 @@ On a real multi-chip slice this measures the BASELINE north-star metric
 exchange).  On a single chip / virtual CPU mesh it still runs and reports
 the numbers (virtual-device timings are NOT hardware-representative).
 
+Beyond raw edges/s it reports, per partition count:
+
+* ``exposed_comm_fraction`` — measured: (t_apply - t_nocomm) / t_apply where
+  t_nocomm runs the identical interior+boundary compute with the ppermutes
+  replaced by a zero halo.  With the interior/boundary overlap structure
+  (edge_partition._apply_local) this is the comm the schedule actually
+  fails to hide, not the total wire time.
+* ``predicted_ici`` — analytic model (``predict_ici_efficiency``): per-apply
+  exchanged bytes (halo * C * 4 per direction, left and right ride separate
+  ICI links concurrently), published per-link ICI bandwidth (default 45 GB/s
+  each direction, TPU v5e), measured single-chip compute time, and the
+  partition's boundary-row fraction.  This is the auditable calculation
+  behind the >=85% scaling-efficiency target on real hardware, next to the
+  virtual-CPU numbers that cannot represent it.
+
 Usage:
-    python benchmarks/scaling.py [--n-points 7000] [--channels 128] [--parts 1 2 4 8]
+    python benchmarks/scaling.py [--n-points 7000] [--channels 128]
+        [--parts 1 2 4 8] [--t1-us T] [--ici-gbps 45] [--profile DIR]
 """
 
 from __future__ import annotations
@@ -18,7 +34,51 @@ import time
 import numpy as np
 
 
-def measure(n_points: int, channels: int, parts_list: list[int]):
+def predict_ici_efficiency(
+    t_compute_us: float,
+    halo: int,
+    channels: int,
+    n_parts: int,
+    bnd_fraction: float,
+    ici_gb_s: float = 45.0,
+    latency_us: float = 1.0,
+    overlap: bool = True,
+) -> dict:
+    """Analytic ICI scaling model for the partitioned SpMM.
+
+    ``t_compute_us`` is the measured single-chip apply time; compute scales
+    1/P.  Each device sends ``halo * channels * 4`` bytes left AND right per
+    apply; the two directions ride different ICI links concurrently, so the
+    wire time is one direction's bytes over one link's bandwidth plus a
+    launch latency.  With the interior/boundary overlap structure the comm
+    hides under the interior rows (fraction ``1 - bnd_fraction`` of the
+    compute); only what exceeds it is exposed, then the boundary rows run.
+    """
+    if n_parts == 1:
+        return {"efficiency": 1.0, "t_us": t_compute_us, "t_comm_us": 0.0}
+    t_comp = t_compute_us / n_parts
+    bytes_dir = halo * channels * 4
+    t_comm = bytes_dir / (ici_gb_s * 1e3) + latency_us
+    if overlap:
+        t_int = t_comp * (1.0 - bnd_fraction)
+        t_p = max(t_int, t_comm) + t_comp * bnd_fraction
+    else:
+        t_p = t_comp + t_comm
+    return {
+        "efficiency": t_compute_us / (n_parts * t_p),
+        "t_us": t_p,
+        "t_comm_us": t_comm,
+    }
+
+
+def measure(
+    n_points: int,
+    channels: int,
+    parts_list: list[int],
+    t1_us: float | None = None,
+    ici_gbps: float = 45.0,
+    profile_dir: str | None = None,
+):
     import jax
     import jax.numpy as jnp
 
@@ -26,6 +86,7 @@ def measure(n_points: int, channels: int, parts_list: list[int]):
     from surfacenetworks_tpu import sparse as sps
     from surfacenetworks_tpu.data import datasets
     from surfacenetworks_tpu.dist import edge_partition, make_mesh
+    from surfacenetworks_tpu.dist.edge_partition import _ell_local, _scatter_add_rows
 
     rng = np.random.default_rng(0)
     V, F = datasets.random_blob_mesh(rng, n_points)
@@ -52,32 +113,64 @@ def measure(n_points: int, channels: int, parts_list: list[int]):
             continue
         mesh = make_mesh(n_data=1, n_graph=n_parts, devices=jax.devices()[:n_parts])
         pspmm = edge_partition.make_partitioned_spmm(mesh)
+        bnd_fraction = pop.fwd.bnd_rows.shape[0] / N
+
+        def apply_nocomm(op, x_loc):
+            """Identical interior+boundary compute, zero halo, no ppermute."""
+            m = op.fwd
+            y = _ell_local(m.cols, m.vals, x_loc)
+            if m.halo and m.bnd_rows.shape[-1]:
+                pad = jnp.zeros_like(x_loc[..., : m.halo, :])
+                x_ext = jnp.concatenate([pad, x_loc, pad], axis=-2)
+                y_bnd = _ell_local(m.bnd_cols, m.bnd_vals, x_ext)
+                y = _scatter_add_rows(y, m.bnd_rows, y_bnd)
+            return y
+
+        from jax.sharding import PartitionSpec as P
+
+        pspmm_nocomm = lambda op, x: jax.shard_map(
+            apply_nocomm, mesh=mesh, in_specs=(P("graph"), P("graph")), out_specs=P("graph")
+        )(op, x)
+
         x = rng.normal(size=(N, channels)).astype(np.float32)
 
-        @jax.jit
-        def chain(op, x0, n):
-            def body(_, y):
-                return pspmm(op, y) * 0.2 + x0 * 0.01
+        def make_chain(apply_fn):
+            @jax.jit
+            def chain(op, x0, n):
+                def body(_, y):
+                    return apply_fn(op, y) * 0.2 + x0 * 0.01
 
-            return jnp.sum(jax.lax.fori_loop(0, n, body, x0))
+                return jnp.sum(jax.lax.fori_loop(0, n, body, x0))
+
+            return chain
+
+        chain = make_chain(pspmm)
+        chain_nocomm = make_chain(pspmm_nocomm)
 
         with mesh:
             op_d = edge_partition.shard_partitioned(mesh, pop)
             x_d = edge_partition.shard_rows(mesh, jnp.asarray(x))
 
-            def timed(n):
-                float(chain(op_d, x_d, jnp.asarray(n, jnp.int32)))
+            def timed(fn, n):
+                float(fn(op_d, x_d, jnp.asarray(n, jnp.int32)))
                 best = float("inf")
                 for _ in range(3):
                     t0 = time.perf_counter()
-                    float(chain(op_d, x_d, jnp.asarray(n, jnp.int32)))
+                    float(fn(op_d, x_d, jnp.asarray(n, jnp.int32)))
                     best = min(best, time.perf_counter() - t0)
                 return best
 
-            t = (timed(544) - timed(32)) / 512
+            t = (timed(chain, 544) - timed(chain, 32)) / 512
+            t_nc = (timed(chain_nocomm, 544) - timed(chain_nocomm, 32)) / 512
+            if profile_dir and n_parts == max(parts_list):
+                with jax.profiler.trace(profile_dir):
+                    float(chain(op_d, x_d, jnp.asarray(64, jnp.int32)))
         results[n_parts] = {
             "edges_per_s": nnz / t,
             "us_per_apply": t * 1e6,
+            "us_per_apply_nocomm": t_nc * 1e6,
+            "exposed_comm_fraction": max(0.0, (t - t_nc) / t),
+            "bnd_row_fraction": bnd_fraction,
             "halo": halo,
         }
     base = None
@@ -88,7 +181,38 @@ def measure(n_points: int, channels: int, parts_list: list[int]):
         if base is None:
             base = r["edges_per_s"]
         r["scaling_efficiency"] = r["edges_per_s"] / (base * p)
-    return {"n_vertices": L.shape[0], "nnz": nnz, "bandwidth": bw, "parts": results}
+
+    # analytic ICI prediction at the real-hardware compute time (the virtual
+    # CPU numbers above cannot represent ICI; this calculation can be audited
+    # against BENCH_r*.json's measured single-chip apply time)
+    t1 = t1_us
+    if t1 is None and 1 in results and "us_per_apply" in results.get(1, {}):
+        t1 = results[1]["us_per_apply"]
+    predicted = {}
+    halo_hw = max(((bw + 127) // 128) * 128, 128)
+    if t1 is not None:
+        for p in parts_list:
+            bf = results.get(p, {}).get("bnd_row_fraction", 2 * halo_hw * p / L.shape[0])
+            predicted[p] = {
+                "overlap": predict_ici_efficiency(
+                    t1, halo_hw, channels, p, bf, ici_gb_s=ici_gbps
+                ),
+                "serialized": predict_ici_efficiency(
+                    t1, halo_hw, channels, p, bf, ici_gb_s=ici_gbps, overlap=False
+                ),
+            }
+    return {
+        "n_vertices": L.shape[0],
+        "nnz": nnz,
+        "bandwidth": bw,
+        "parts": results,
+        "ici_model": {
+            "t_compute_us": t1,
+            "ici_gb_s_per_link_per_dir": ici_gbps,
+            "bytes_per_direction_per_apply": halo_hw * channels * 4,
+            "predicted_efficiency": predicted,
+        },
+    }
 
 
 if __name__ == "__main__":
@@ -96,5 +220,20 @@ if __name__ == "__main__":
     ap.add_argument("--n-points", type=int, default=7000)
     ap.add_argument("--channels", type=int, default=128)
     ap.add_argument("--parts", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument(
+        "--t1-us", type=float, default=None,
+        help="single-chip apply time (us) for the ICI model; default = measured parts=1",
+    )
+    ap.add_argument("--ici-gbps", type=float, default=45.0)
+    ap.add_argument("--profile", type=str, default=None, help="jax.profiler trace dir")
     args = ap.parse_args()
-    print(json.dumps(measure(args.n_points, args.channels, args.parts), indent=2, default=float))
+    print(
+        json.dumps(
+            measure(
+                args.n_points, args.channels, args.parts,
+                t1_us=args.t1_us, ici_gbps=args.ici_gbps, profile_dir=args.profile,
+            ),
+            indent=2,
+            default=float,
+        )
+    )

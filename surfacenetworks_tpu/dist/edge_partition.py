@@ -9,8 +9,23 @@ a few hundred rows suffices and per-apply communication is O(halo * C) per
 device — exchanged with ``jax.lax.ppermute`` between ring neighbours over
 ICI, instead of all-gathering the full feature tensor.
 
-Host-side preprocessing (``partition_ell``) remaps every row's column
-indices into its own partition's extended frame [halo | local | halo].
+Host-side preprocessing (``partition_ell``) splits each partition's rows in
+two (the BASELINE north-star structure: "overlapping the exchange with local
+neighborhood aggregation"):
+
+* **interior rows** — every nonzero column is inside the partition's own
+  band; their ELL table indexes the LOCAL frame ``[0, n_loc)`` and the
+  matmul depends only on ``x_loc``, never on the exchange;
+* **boundary rows** — at least one column lands in a neighbour's band; they
+  are packed into a small side table (``bnd_rows``/``bnd_cols``/``bnd_vals``,
+  column indices in the extended frame ``[halo | local | halo]``) whose
+  matmul consumes the ppermuted halo and scatter-adds onto the interior
+  result.
+
+Device-side the interior matmul has no data dependency on the two
+``ppermute``s, so XLA's latency-hiding scheduler runs the halo exchange
+concurrently with the bulk of the local aggregation; only the O(halo)
+boundary rows wait on the wire.
 
 Device side, two entry points:
 
@@ -42,18 +57,29 @@ from surfacenetworks_tpu.sparse.ops import _ell_matmul_xla
 
 @struct.dataclass
 class PartitionedEll:
-    """Row-sharded ELL in halo-frame column indexing.
+    """Row-sharded ELL split into interior and boundary rows.
 
-    ``cols[r, k]`` indexes the *extended local frame* of row r's partition:
-    position 0 is that partition's first halo row (global row
-    ``part(r)*n_loc - halo``).  Arrays are stored flat ``[N, K]`` (optionally
-    with a leading mesh-batch axis ``[B, N, K]``) so the same
-    ``P('graph')`` / ``P('data', 'graph')`` sharding as the features applies.
-    ``axis`` is the mesh axis name the rows are sharded over.
+    *Interior* table: ``cols[r, k]`` indexes the LOCAL frame ``[0, n_loc)``
+    of row r's partition; boundary rows are zeroed out here (cols 0, vals 0)
+    so the interior matmul is exact for them too (contributes +0.0).
+
+    *Boundary* table: ``bnd_rows`` holds each boundary row's partition-local
+    row index (flat layout ``[n_parts * Mb]`` — partition p owns slice
+    ``[p*Mb, (p+1)*Mb)``; padded slots point at row 0 with all-zero vals);
+    ``bnd_cols`` indexes the *extended* frame ``[halo | local | halo]`` of
+    size ``n_loc + 2*halo``.
+
+    Every array is stored flat over the global row dim (optionally with a
+    leading mesh-batch axis) so a single ``P('graph')`` /
+    ``P('data', 'graph')`` prefix spec shards all leaves alike.  ``axis`` is
+    the mesh axis name the rows are sharded over.
     """
 
-    cols: Any  # int32 [..., N, K]
+    cols: Any  # int32 [..., N, K] — LOCAL frame, boundary rows zeroed
     vals: Any  # f32 [..., N, K]
+    bnd_rows: Any  # int32 [..., n_parts*Mb] — partition-local row indices
+    bnd_cols: Any  # int32 [..., n_parts*Mb, K] — extended frame
+    bnd_vals: Any  # f32 [..., n_parts*Mb, K]
     halo: int = struct.field(pytree_node=False)
     n_parts: int = struct.field(pytree_node=False)
     axis: str = struct.field(pytree_node=False, default="graph")
@@ -89,9 +115,12 @@ def partition_ell(
     n_rows: int | None = None,
     axis: str = "graph",
 ) -> PartitionedEll:
-    """Pack a square operator into row partitions with halo-frame columns.
+    """Pack a square operator into interior/boundary row partitions.
 
     Requires the (reordered) matrix bandwidth to be <= halo; raises otherwise.
+    Rows whose every nonzero stays inside their own partition band go into
+    the interior table (local-frame columns, exchange-independent); the rest
+    go into the boundary side table (extended-frame columns).
     """
     M = M.tocsr().astype(np.float32)
     N = n_rows if n_rows is not None else M.shape[0]
@@ -110,16 +139,55 @@ def partition_ell(
     deg = np.diff(csr.indptr)
     if deg.size and deg.max() > k:
         raise ValueError(f"ELL k={k} smaller than max row degree {deg.max()}")
-    cols = np.zeros((N, k), dtype=np.int32)
-    vals = np.zeros((N, k), dtype=np.float32)
     row_of = np.repeat(np.arange(N), deg)
     slot = np.arange(csr.indptr[-1]) - np.repeat(csr.indptr[:-1], deg)
     part = row_of // n_loc
-    local_col = csr.indices - part * n_loc + halo
-    assert (local_col >= 0).all() and (local_col < n_loc + 2 * halo).all()
-    cols[row_of, slot] = local_col
-    vals[row_of, slot] = csr.data
-    return PartitionedEll(cols=cols, vals=vals, halo=halo, n_parts=n_parts, axis=axis)
+    ext_col = csr.indices - part * n_loc + halo  # extended-frame column
+    assert (ext_col >= 0).all() and (ext_col < n_loc + 2 * halo).all()
+
+    # full-row ELL in extended coordinates (the boundary table's layout)
+    ext_cols = np.zeros((N, k), dtype=np.int32)
+    ext_vals = np.zeros((N, k), dtype=np.float32)
+    ext_cols[row_of, slot] = ext_col
+    ext_vals[row_of, slot] = csr.data
+
+    # boundary = any entry outside the local band [halo, halo + n_loc)
+    is_bnd = np.zeros(N, dtype=bool)
+    remote = (ext_col < halo) | (ext_col >= halo + n_loc)
+    is_bnd[row_of[remote]] = True
+
+    # interior table: local-frame columns; boundary rows zeroed (contribute
+    # exactly +0.0, keeping the split bitwise-faithful to the fused apply)
+    cols = np.where(is_bnd[:, None], 0, np.maximum(ext_cols - halo, 0)).astype(np.int32)
+    cols = np.where(ext_vals == 0, 0, cols)  # dead slots stay in bounds
+    vals = np.where(is_bnd[:, None], 0.0, ext_vals).astype(np.float32)
+
+    # boundary side table, Mb rows per partition (shared static width)
+    per_part = is_bnd.reshape(n_parts, n_loc)
+    mb = int(per_part.sum(axis=1).max(initial=0))
+    mb = min(_round_up_int(mb, 8), n_loc) if mb else 0
+    bnd_rows = np.zeros((n_parts, mb), dtype=np.int32)
+    bnd_cols = np.zeros((n_parts, mb, k), dtype=np.int32)
+    bnd_vals = np.zeros((n_parts, mb, k), dtype=np.float32)
+    for p in range(n_parts):
+        rloc = np.nonzero(per_part[p])[0]
+        bnd_rows[p, : rloc.size] = rloc
+        bnd_cols[p, : rloc.size] = ext_cols[p * n_loc + rloc]
+        bnd_vals[p, : rloc.size] = ext_vals[p * n_loc + rloc]
+    return PartitionedEll(
+        cols=cols,
+        vals=vals,
+        bnd_rows=bnd_rows.reshape(n_parts * mb),
+        bnd_cols=bnd_cols.reshape(n_parts * mb, k),
+        bnd_vals=bnd_vals.reshape(n_parts * mb, k),
+        halo=halo,
+        n_parts=n_parts,
+        axis=axis,
+    )
+
+
+def _round_up_int(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def partition_operator(
@@ -136,15 +204,32 @@ def partition_operator(
     )
 
 
+def _repad_bnd(arr: np.ndarray, n_parts: int, mb: int) -> np.ndarray:
+    """Re-pad a flat per-partition boundary array [n_parts*mb_old, ...] to a
+    new per-partition width mb (zero-padded at each partition's tail)."""
+    mb_old = arr.shape[0] // n_parts
+    if mb_old == mb:
+        return arr
+    out = np.zeros((n_parts, mb) + arr.shape[1:], dtype=arr.dtype)
+    out[:, :mb_old] = arr.reshape((n_parts, mb_old) + arr.shape[1:])
+    return out.reshape((n_parts * mb,) + arr.shape[1:])
+
+
 def stack_partitioned(ops: list[PartitionedOperator]) -> PartitionedOperator:
     """Batch per-mesh partitioned operators along a new leading axis (all
-    must share halo / n_parts / padded shape)."""
+    must share halo / n_parts / padded shape; boundary tables are re-padded
+    to the widest member)."""
 
     def stack_ell(ms: list[PartitionedEll]) -> PartitionedEll:
         assert all(m.halo == ms[0].halo and m.n_parts == ms[0].n_parts for m in ms)
+        n_parts = ms[0].n_parts
+        mb = max(m.bnd_rows.shape[0] // n_parts for m in ms)
         return PartitionedEll(
             cols=np.stack([m.cols for m in ms]),
             vals=np.stack([m.vals for m in ms]),
+            bnd_rows=np.stack([_repad_bnd(np.asarray(m.bnd_rows), n_parts, mb) for m in ms]),
+            bnd_cols=np.stack([_repad_bnd(np.asarray(m.bnd_cols), n_parts, mb) for m in ms]),
+            bnd_vals=np.stack([_repad_bnd(np.asarray(m.bnd_vals), n_parts, mb) for m in ms]),
             halo=ms[0].halo,
             n_parts=ms[0].n_parts,
             axis=ms[0].axis,
@@ -182,9 +267,29 @@ def _ell_local(cols, vals, x_ext):
     return jax.vmap(_ell_local)(cols, vals, x_ext)
 
 
+def _scatter_add_rows(y, rows, upd):
+    """y[..., rows[i], :] += upd[..., i, :] (batched via vmap)."""
+    if rows.ndim == 1:
+        return y.at[rows].add(upd)
+    return jax.vmap(_scatter_add_rows)(y, rows, upd)
+
+
 def _apply_local(m: PartitionedEll, x_loc: jnp.ndarray) -> jnp.ndarray:
+    """Interior/boundary split apply — the overlap structure.
+
+    The interior matmul consumes only ``x_loc`` and carries no data
+    dependency on the two ``ppermute``s, so XLA's latency-hiding scheduler
+    issues collective-permute-start, runs the interior rows, and only the
+    small boundary matmul sits behind collective-permute-done.  Numerically
+    the split is exact: boundary rows contribute +0.0 in the interior table
+    and are summed in their original slot order in the boundary table.
+    """
+    y = _ell_local(m.cols, m.vals, x_loc)
+    if m.halo == 0 or m.bnd_rows.shape[-1] == 0:
+        return y
     x_ext = _halo_exchange(x_loc, m.halo, m.axis)
-    return _ell_local(m.cols, m.vals, x_ext)
+    y_bnd = _ell_local(m.bnd_cols, m.bnd_vals, x_ext)
+    return _scatter_add_rows(y, m.bnd_rows, y_bnd)
 
 
 @jax.custom_vjp
