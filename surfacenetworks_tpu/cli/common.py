@@ -27,6 +27,39 @@ def make_logger(result_prefix: str, log_dir: str | None, debug: bool = False):
     return log
 
 
+def add_multihost_flags(parser):
+    """--multihost bootstrap flags (jax.distributed over DCN; SURVEY.md §2.9
+    'communication backend' — the reference has none)."""
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed before any device use "
+                             "(multi-host slice over DCN; pass coordinator flags "
+                             "or rely on the TPU environment's auto-detection)")
+    parser.add_argument("--coordinator-address", default=None,
+                        help="host:port of process 0 (omit on TPU pods: auto)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+
+
+def maybe_initialize_multihost(args, log=None):
+    """Bootstrap jax.distributed when --multihost is set.  Must run before
+    the first jax.devices() touch; no-op otherwise."""
+    if not getattr(args, "multihost", False):
+        return
+    from surfacenetworks_tpu.dist import initialize_multihost
+
+    kwargs = {}
+    if args.num_processes is not None:
+        kwargs["num_processes"] = args.num_processes
+    if args.process_id is not None:
+        kwargs["process_id"] = args.process_id
+    initialize_multihost(coordinator_address=args.coordinator_address, **kwargs)
+    if log is not None:
+        log(
+            f"multihost: process {jax.process_index()}/{jax.process_count()}, "
+            f"{jax.device_count()} global devices ({len(jax.local_devices())} local)"
+        )
+
+
 def log_environment(log):
     """Host + device report (the TPU analogue of logging nvidia-smi,
     train_4_normal.py:106-107)."""

@@ -19,7 +19,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from surfacenetworks_tpu import config
-from surfacenetworks_tpu.cli.common import count_params, log_environment, make_logger
+from surfacenetworks_tpu.cli.common import (
+    add_multihost_flags,
+    count_params,
+    log_environment,
+    make_logger,
+    maybe_initialize_multihost,
+)
 from surfacenetworks_tpu.data import Buckets, correspondence_batch, datasets
 from surfacenetworks_tpu.models import SiameseModel
 from surfacenetworks_tpu.train import TrainState, checkpoint, losses, optim
@@ -51,9 +57,11 @@ parser.add_argument("--intrinsic", action="store_true",
                     help="use the intrinsic-Delaunay Laplacian (reference lap default, main.py:87)")
 parser.add_argument("--graph-parallel", type=int, default=0,
                     help="edge-partition each trunk operator's rows across this many "
-                         "devices on the 'graph' mesh axis (lap trunk; ring halo "
-                         "exchange per SpMM; needs >= that many JAX devices)")
+                         "devices on the 'graph' mesh axis (lap and dir trunks; ring "
+                         "halo exchange per apply, overlapped with interior compute; "
+                         "needs >= that many JAX devices)")
 parser.add_argument("--seed", type=int, default=17)
+add_multihost_flags(parser)
 config.add_config_flags(parser)
 
 LOSSES = {
@@ -83,6 +91,7 @@ def main(argv=None):
     args = config.parse_with_config(parser, argv)
     log = make_logger(args.result_prefix, os.path.join(args.result_dir, "log"))
     log(args)
+    maybe_initialize_multihost(args, log)
     log_environment(log)
     rng_np = np.random.default_rng(args.seed)
 
@@ -105,14 +114,23 @@ def main(argv=None):
             s_["L_pyr"] = geo_.amp_pyramid(s_["L"], levels=3)
     use_bsr = args.operator_format == "bsr" and model_key == "lap"
     n_gp = args.graph_parallel if args.graph_parallel > 1 else 0
-    if n_gp and args.model != "lap":
-        raise SystemExit("--graph-parallel supports the lap trunk only")
+    if n_gp and model_key not in ("lap", "dirac"):
+        raise SystemExit("--graph-parallel supports the lap and dir trunks")
     if n_gp and use_bsr:
         raise SystemExit("--graph-parallel partitions ELL operators; drop --operator-format bsr")
     if use_bsr or n_gp:
         from surfacenetworks_tpu.data import rcm_reorder_sample
 
         data = [rcm_reorder_sample(s) for s in data]
+    if n_gp and model_key == "dirac":
+        # narrow Dirac halos need face index to correlate with (RCM-ordered)
+        # vertex index; face order is arbitrary in every workload
+        from surfacenetworks_tpu.dist import dirac_partition
+
+        for s_ in data:
+            fperm = dirac_partition.sort_faces_for_partition(s_["F"])
+            s_["F"] = np.asarray(s_["F"])[fperm]
+            s_.pop("dirac", None)  # stale coeffs: they bake in face order
     buckets = Buckets.for_samples(
         data, multiple=128 if use_bsr else (8 * n_gp if n_gp else 8)
     )
@@ -139,12 +157,24 @@ def main(argv=None):
         # whole trunk runs inside one shard_map (ring ppermute per SpMM,
         # psum'd global_average / BN statistics) — SURVEY.md §2.9's
         # context-parallel analogue for the FAUST hot spot (main.py:193,320).
-        from surfacenetworks_tpu.dist import edge_partition, graph_parallel, make_mesh
+        from surfacenetworks_tpu.dist import (
+            dirac_partition, edge_partition, graph_parallel, make_mesh,
+        )
 
         gmesh = make_mesh(n_data=1, n_graph=n_gp)
 
         def partitioned_op_of(sample):
             N = buckets.n_vertices
+            if model_key == "dirac":
+                from surfacenetworks_tpu import native
+
+                coeffs = sample.get("dirac")
+                if coeffs is None:
+                    coeffs = native.dirac_coeffs(sample["V"], sample["F"])
+                pop = graph_parallel.partition_batch_dirac(
+                    [coeffs], n_gp, N, buckets.n_faces, max_valence=buckets.max_valence
+                )
+                return dirac_partition.shard_partitioned_dirac(gmesh, pop)
             halo = min(edge_partition.suggest_halo(sample["L"]), N // n_gp)
             pop = graph_parallel.partition_batch_operator(
                 [sample["L"]], n_gp, n_rows=N, halo=halo, k=buckets.ell_k
@@ -233,10 +263,28 @@ def main(argv=None):
         )
         return loss_fn(logits, GAB), metrics
 
+    # multihost graph parallel (BASELINE config 5: FAUST full-res across >=2
+    # hosts): params replicated globally; per-pair arrays placed as global
+    # jax.Arrays (every process assembles the same pair — shared RNG seed)
+    if n_gp and jax.process_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from surfacenetworks_tpu.dist import replicate as _replicate
+        from surfacenetworks_tpu.dist.mesh_setup import put_global
+
+        state = _replicate(gmesh, state)
+        _row_sh = NamedSharding(gmesh, P(None, "graph"))
+        _rep_sh = NamedSharding(gmesh, P())
+        place_rows = lambda x: put_global(np.asarray(x), _row_sh)
+        place_rep = lambda x: put_global(np.asarray(x), _rep_sh)
+    else:
+        place_rows = jnp.asarray
+        place_rep = jnp.asarray
+
     def _pad_labels(l, N):
         out = np.zeros(N, np.int32)
         out[: l.shape[0]] = l
-        return jnp.asarray(out)
+        return place_rep(np.asarray(out))
 
     def run_pair(sa, sb, train=True):
         ba, bb = batch_of(sa), batch_of(sb)
@@ -251,11 +299,12 @@ def main(argv=None):
         GAB = GAB.at[: GAB_real.shape[0], : GAB_real.shape[1]].set(GAB_real)
         # padded logits columns get +inf cost so argmin/softmin ignore them
         GAB = GAB.at[:, GAB_real.shape[1]:].set(1e9)
+        GAB = place_rep(GAB)
         nonlocal state
         if train:
             state, loss = train_step(
-                state, ba.operator, jnp.asarray(ba.mask), jnp.asarray(ba.inputs),
-                bb.operator, jnp.asarray(bb.mask), jnp.asarray(bb.inputs),
+                state, ba.operator, place_rows(ba.mask), place_rows(ba.inputs),
+                bb.operator, place_rows(bb.mask), place_rows(bb.inputs),
                 GAB, GA.shape[0], GB.shape[0],
             )
             return float(loss)
@@ -263,10 +312,10 @@ def main(argv=None):
         GB_pad[: GB.shape[0], : GB.shape[1]] = GB
         loss, metrics = eval_step(
             state.params,
-            ba.operator, jnp.asarray(ba.mask), jnp.asarray(ba.inputs),
-            bb.operator, jnp.asarray(bb.mask), jnp.asarray(bb.inputs),
+            ba.operator, place_rows(ba.mask), place_rows(ba.inputs),
+            bb.operator, place_rows(bb.mask), place_rows(bb.inputs),
             GAB, _pad_labels(lA, N), _pad_labels(lB, N), _pad_labels(liB, N),
-            jnp.asarray(GB_pad),
+            place_rep(GB_pad),
         )
         return float(loss), {k: float(v) for k, v in metrics.items()}
 

@@ -21,7 +21,15 @@ import numpy as np
 
 from surfacenetworks_tpu import config
 from surfacenetworks_tpu import models as zoo
-from surfacenetworks_tpu.cli.common import EpochSampler, Throughput, count_params, log_environment, make_logger
+from surfacenetworks_tpu.cli.common import (
+    EpochSampler,
+    Throughput,
+    add_multihost_flags,
+    count_params,
+    log_environment,
+    make_logger,
+    maybe_initialize_multihost,
+)
 from surfacenetworks_tpu.data import Buckets, datasets, dirac_batch, laplacian_batch, rcm_reorder_sample, round_up
 from surfacenetworks_tpu.train import TrainState, checkpoint, losses, optim
 
@@ -47,6 +55,10 @@ parser.add_argument("--data-parallel", type=int, default=0,
                     help="shard the mesh batch across this many devices on the 'data' "
                          "mesh axis (params replicated, GSPMD gradient all-reduce); "
                          "batch size must be divisible by it")
+parser.add_argument("--graph-parallel", type=int, default=0,
+                    help="edge-partition every operator's rows across this many devices "
+                         "on the 'graph' mesh axis (lap and dirac models; ring halo "
+                         "exchange per apply, overlapped with interior compute)")
 parser.add_argument("--cascade-levels", type=int, default=4, help="pyramid depth for --model cas")
 parser.add_argument("--result-prefix", default="debug")
 parser.add_argument("--result-dir", default="results/normal_predict")
@@ -57,6 +69,7 @@ parser.add_argument("--debug", action="store_true")
 parser.add_argument("--seed", type=int, default=17)
 parser.add_argument("--jax-profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the first training epoch")
+add_multihost_flags(parser)
 config.add_config_flags(parser)
 
 
@@ -116,6 +129,7 @@ def main(argv=None):
     random.seed(args.seed)
     log = make_logger(args.result_prefix, os.path.join(args.result_dir, "log"), args.debug)
     log(args)
+    maybe_initialize_multihost(args, log)
     log_environment(log)
     if not args.debug:
         config.dump_config(
@@ -126,12 +140,32 @@ def main(argv=None):
     log(f"Train size: {len(train_samples)} Test size: {len(test_samples)}")
 
     is_dirac = args.model.startswith("dirac")
-    if args.operator_format == "bsr" and not is_dirac:
+    n_gp = args.graph_parallel if args.graph_parallel > 1 else 0
+    if n_gp:
+        if args.model not in ("lap", "dirac"):
+            raise SystemExit("--graph-parallel supports the lap and dirac models")
+        if args.data_parallel > 1:
+            raise SystemExit("--graph-parallel and --data-parallel are mutually exclusive here")
+        if args.operator_format not in ("auto", "ell"):
+            raise SystemExit("--graph-parallel partitions ELL operators; use --operator-format ell")
+        args.operator_format = "ell"
+    if (args.operator_format == "bsr" and not is_dirac) or n_gp:
         train_samples = [rcm_reorder_sample(s) for s in train_samples]
         test_samples = [rcm_reorder_sample(s) for s in test_samples]
+    if n_gp and is_dirac:
+        # narrow Dirac halos need face index correlated with vertex index
+        from surfacenetworks_tpu.dist import dirac_partition
+
+        for s in train_samples + test_samples:
+            fperm = dirac_partition.sort_faces_for_partition(s["F"])
+            s["F"] = np.asarray(s["F"])[fperm]
+            s.pop("dirac", None)  # stale coeffs: they bake in face order
 
     all_samples = train_samples + test_samples
-    buckets = Buckets.for_samples(all_samples, multiple=128 if args.operator_format == "bsr" else 8)
+    buckets = Buckets.for_samples(
+        all_samples,
+        multiple=128 if args.operator_format == "bsr" else (8 * n_gp if n_gp else 8),
+    )
     if args.model == "cas":
         # fine bucket must be divisible by 2**(levels-1) for the pool chain
         from surfacenetworks_tpu.data import cascade_batch
@@ -141,13 +175,81 @@ def main(argv=None):
         def make_batch(samples):
             return cascade_batch(samples, args.cascade_levels, n_bucket)
     else:
-        def make_batch(samples):
+        batch_operator = None
+        if n_gp:
+            # Pre-partition every sample once (shared dataset-wide halos and
+            # boundary widths -> one jit compilation across batches); per
+            # batch, stack the cached per-mesh partitions.
+            from surfacenetworks_tpu.dist import (
+                dirac_partition, edge_partition, graph_parallel, make_mesh,
+            )
+
+            gmesh = make_mesh(n_data=1, n_graph=n_gp)
+            N = buckets.n_vertices
             if is_dirac:
-                return dirac_batch(samples, buckets)
-            return laplacian_batch(samples, buckets, fmt=args.operator_format)
+                from surfacenetworks_tpu import native
+
+                def _coeffs(s):
+                    c = s.get("dirac")
+                    return c if c is not None else native.dirac_coeffs(s["V"], s["F"])
+
+                pops = [
+                    dirac_partition.partition_dirac(
+                        _coeffs(s), n_gp, N, buckets.n_faces, max_valence=buckets.max_valence
+                    )
+                    for s in all_samples
+                ]
+                halo_v = max(o.halo_v for o in pops)
+                halo_f = max(o.halo_f for o in pops)
+                pops = [
+                    o if (o.halo_v == halo_v and o.halo_f == halo_f)
+                    else dirac_partition.partition_dirac(
+                        _coeffs(s), n_gp, N, buckets.n_faces,
+                        halo_v=halo_v, halo_f=halo_f, max_valence=buckets.max_valence,
+                    )
+                    for o, s in zip(pops, all_samples)
+                ]
+                mbf = max(o.fbnd_rows.shape[0] // n_gp for o in pops)
+                mbv = max(o.vbnd_rows.shape[0] // n_gp for o in pops)
+                _pcache = {id(s): o for s, o in zip(all_samples, pops)}
+
+                def batch_operator(samples):
+                    return dirac_partition.stack_partitioned_dirac(
+                        [_pcache[id(s)] for s in samples], min_mbf=mbf, min_mbv=mbv
+                    )
+            else:
+                halo = min(
+                    max(edge_partition.suggest_halo(s["L"]) for s in all_samples),
+                    N // n_gp,
+                )
+                pops = [
+                    edge_partition.partition_operator(
+                        s["L"], n_gp, halo=halo, k=buckets.ell_k, n_rows=N
+                    )
+                    for s in all_samples
+                ]
+                mb = max(
+                    max(o.fwd.bnd_rows.shape[0], o.bwd.bnd_rows.shape[0]) // n_gp
+                    for o in pops
+                )
+                _pcache = {id(s): o for s, o in zip(all_samples, pops)}
+
+                def batch_operator(samples):
+                    return edge_partition.stack_partitioned(
+                        [_pcache[id(s)] for s in samples], min_mb=mb
+                    )
+
+        def make_batch(samples, plain=False):
+            op = batch_operator(samples) if (batch_operator and not plain) else None
+            if is_dirac:
+                return dirac_batch(samples, buckets, operator=op)
+            return laplacian_batch(samples, buckets, fmt=args.operator_format, operator=op)
 
     model = build_model(args)
-    init_batch = make_batch(train_samples[: args.batch_size] or all_samples[: args.batch_size])
+    init_samples = train_samples[: args.batch_size] or all_samples[: args.batch_size]
+    init_batch = (
+        make_batch(init_samples, plain=True) if n_gp else make_batch(init_samples)
+    )
     params = model.init(
         jax.random.key(0),
         init_batch.operator,
@@ -179,10 +281,20 @@ def main(argv=None):
         else:
             log("Warning: Optimizer is not loaded")
 
+    if n_gp:
+        apply_fn = graph_parallel.make_graph_sharded_apply(
+            gmesh,
+            lambda p, op, mk, x: model.apply({"params": p}, op, mk, x),
+            batch_axis=None,
+        )
+    else:
+        def apply_fn(p, op, mk, x):
+            return model.apply({"params": p}, op, mk, x)
+
     @jax.jit
     def train_step(state, operator, mask, inputs, targets):
         def objective(params):
-            out = model.apply({"params": params}, operator, mask, inputs)
+            out = apply_fn(params, operator, mask, inputs)
             loss = losses.normal_cosine_loss(out, mask, targets)
             mad = losses.mean_angle_deviation(out, mask, targets)
             return loss, mad
@@ -210,6 +322,25 @@ def main(argv=None):
 
         dp_step = make_dp_train_step(dp_apply, dp_loss, dmesh, donate=False)
 
+    if n_gp and jax.process_count() > 1:
+        # multihost graph parallel: params replicated globally, batches
+        # placed row-sharded across the process-spanning mesh
+        from surfacenetworks_tpu.dist import replicate as _replicate
+
+        state = _replicate(gmesh, state)
+
+    def gp_place(batch):
+        op_d, arrs = graph_parallel.place_graph_batch(
+            gmesh,
+            batch.operator,
+            {
+                "mask": np.asarray(batch.mask),
+                "inputs": np.asarray(batch.inputs),
+                "targets": np.asarray(batch.targets),
+            },
+        )
+        return op_d, arrs
+
     def run_train_step(state, batch):
         if n_dp:
             b = shard_batch(dmesh, {
@@ -220,6 +351,9 @@ def main(argv=None):
             })
             new_state, metrics = dp_step(state, b)
             return new_state, metrics["loss"], metrics["mad"]
+        if n_gp:
+            op_d, arrs = gp_place(batch)
+            return train_step(state, op_d, arrs["mask"], arrs["inputs"], arrs["targets"])
         return train_step(
             state,
             batch.operator,
@@ -230,7 +364,7 @@ def main(argv=None):
 
     @jax.jit
     def eval_step(params, operator, mask, inputs, targets):
-        out = model.apply({"params": params}, operator, mask, inputs)
+        out = apply_fn(params, operator, mask, inputs)
         return (
             losses.normal_cosine_loss(out, mask, targets),
             losses.mean_angle_deviation(out, mask, targets),
@@ -272,13 +406,19 @@ def main(argv=None):
             loss_sum = mad_sum = 0.0
             for _ in range(trials):
                 batch = make_batch(test_sampler.next_batch())
-                loss, mad, out = eval_step(
-                    state.params,
-                    batch.operator,
-                    jnp.asarray(batch.mask),
-                    jnp.asarray(batch.inputs),
-                    jnp.asarray(batch.targets),
-                )
+                if n_gp:
+                    op_d, arrs = gp_place(batch)
+                    loss, mad, out = eval_step(
+                        state.params, op_d, arrs["mask"], arrs["inputs"], arrs["targets"]
+                    )
+                else:
+                    loss, mad, out = eval_step(
+                        state.params,
+                        batch.operator,
+                        jnp.asarray(batch.mask),
+                        jnp.asarray(batch.inputs),
+                        jnp.asarray(batch.targets),
+                    )
                 loss_sum += float(loss)
                 mad_sum += float(mad)
                 if args.only_forward_test:

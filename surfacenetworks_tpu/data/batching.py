@@ -119,9 +119,20 @@ def rcm_reorder_sample(sample: dict) -> dict:
     reindexed, and any per-vertex arrays (input/target/V/label arrays sized
     [n, ...]) are permuted consistently.
     """
+    import scipy.sparse as _sp
+
     from surfacenetworks_tpu.sparse import rcm_permutation
 
-    perm = rcm_permutation(sample["L"])
+    if "L" in sample:
+        perm = rcm_permutation(sample["L"])
+    else:
+        # Dirac-only samples: RCM over the face-edge adjacency graph
+        F = np.asarray(sample["F"])
+        n_ = sample["V"].shape[0]
+        r = np.concatenate([F[:, 0], F[:, 1], F[:, 2], F[:, 1], F[:, 2], F[:, 0]])
+        c = np.concatenate([F[:, 1], F[:, 2], F[:, 0], F[:, 0], F[:, 1], F[:, 2]])
+        A = _sp.coo_matrix((np.ones_like(r, np.float32), (r, c)), shape=(n_, n_)).tocsr()
+        perm = rcm_permutation(A)
     inv = geo.invert_permutation(perm)
     n = sample["V"].shape[0]
     out = dict(sample)
@@ -164,6 +175,7 @@ def laplacian_batch(
     input_key: str = "input",
     target_key: str = "target",
     fmt: str = "ell",
+    operator=None,
 ) -> MeshBatch:
     """Assemble a Laplacian-operator batch from per-mesh sample dicts.
 
@@ -171,6 +183,8 @@ def laplacian_batch(
     ``target`` arrays.  Replaces sampler.sample_batch + sparse_diag_cat
     (normal_predict/sampler.py:93-181) with bucketed padding + operator
     stacking.  ``fmt='auto'`` selects per :func:`choose_operator_format`.
+    ``operator`` short-circuits packing with a caller-built operator (e.g. a
+    graph-parallel PartitionedOperator).
     """
     B = len(samples)
     N = buckets.n_vertices
@@ -181,7 +195,9 @@ def laplacian_batch(
     mask = np.zeros((B, N, 1), dtype=np.float32)
     for b, s in enumerate(samples):
         mask[b, : s["V"].shape[0]] = 1.0
-    if fmt == "ell":
+    if operator is not None:
+        pass
+    elif fmt == "ell":
         operator = stack_operators([_fixed_k_operator(s["L"], buckets, N) for s in samples])
     elif fmt == "bsr":
         from surfacenetworks_tpu.sparse import bsr_operator_from_scipy, stack_bsr_operators
@@ -510,10 +526,12 @@ def dirac_batch(
     input_key: str = "input",
     target_key: str = "target",
     fmt: str = "structured",
+    operator=None,
 ) -> MeshBatch:
     """Assemble a Dirac batch: ``fmt='structured'`` (quaternion coefficient
     tables, the TPU-native default) or ``'dense'`` (padded dense operator
-    pair, reference --dense parity)."""
+    pair, reference --dense parity).  ``operator`` short-circuits packing
+    with a caller-built operator (e.g. a graph-parallel PartitionedDirac)."""
     B = len(samples)
     N, M = buckets.n_vertices, buckets.n_faces
     inputs = np.stack([pad_rows(np.asarray(s[input_key], np.float32), N) for s in samples])
@@ -521,7 +539,9 @@ def dirac_batch(
     mask = np.zeros((B, N, 1), dtype=np.float32)
     for b, s in enumerate(samples):
         mask[b, : s["V"].shape[0]] = 1.0
-    if fmt == "dense":
+    if operator is not None:
+        pass
+    elif fmt == "dense":
         operator = dense_dirac_pair(samples, N, M)
     else:
         ops = []

@@ -18,22 +18,26 @@ from typing import Any, Callable
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from surfacenetworks_tpu.dist.mesh_setup import put_global
 from surfacenetworks_tpu.train.loop import TrainState
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put every array in the batch pytree sharded on axis 0 ('data')."""
+    """Place every array in the batch pytree sharded on axis 0 ('data').
+
+    Multi-process (``--multihost``): every process assembles the same global
+    batch and ``put_global`` materializes each host's shards only."""
 
     def put(x):
         spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return put_global(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sharding), tree)
 
 
 def make_dp_train_step(

@@ -246,9 +246,12 @@ def partition_dirac(
     )
 
 
-def stack_partitioned_dirac(ops: list[PartitionedDirac]) -> PartitionedDirac:
+def stack_partitioned_dirac(
+    ops: list[PartitionedDirac], min_mbf: int = 0, min_mbv: int = 0
+) -> PartitionedDirac:
     """Batch per-mesh partitioned Dirac operators along a new leading axis
-    (boundary side tables re-padded to the widest member)."""
+    (boundary side tables re-padded to the widest member; ``min_mbf`` /
+    ``min_mbv`` floor the widths for batch-to-batch shape stability)."""
     from surfacenetworks_tpu.dist.edge_partition import _repad_bnd
 
     first = ops[0]
@@ -257,8 +260,8 @@ def stack_partitioned_dirac(ops: list[PartitionedDirac]) -> PartitionedDirac:
         for o in ops
     )
     n_parts = first.n_parts
-    mbf = max(o.fbnd_rows.shape[0] // n_parts for o in ops)
-    mbv = max(o.vbnd_rows.shape[0] // n_parts for o in ops)
+    mbf = max(min_mbf, max(o.fbnd_rows.shape[0] // n_parts for o in ops))
+    mbv = max(min_mbv, max(o.vbnd_rows.shape[0] // n_parts for o in ops))
     arr = lambda name: np.stack([getattr(o, name) for o in ops])
     fbnd = lambda name: np.stack(
         [_repad_bnd(np.asarray(getattr(o, name)), n_parts, mbf) for o in ops]
@@ -374,10 +377,12 @@ partitioned_dirac_fv.defvjp(_pfv_fwd, _pfv_bwd)
 
 
 def shard_partitioned_dirac(mesh: Mesh, op: PartitionedDirac, axis: str | None = None):
-    """Device-put a PartitionedDirac row-sharded on its mesh axis (vertex and
-    face tables alike shard their leading row dimension)."""
+    """Place a PartitionedDirac row-sharded on its mesh axis (vertex and
+    face tables alike shard their leading row dimension; multi-host aware)."""
+    from surfacenetworks_tpu.dist.mesh_setup import put_global
+
     axis = axis if axis is not None else op.axis
     batched = np.ndim(op.faces) == 3
     spec = P(None, axis) if batched else P(axis)
     sh = NamedSharding(mesh, spec)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), op)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sh), op)

@@ -215,15 +215,19 @@ def _repad_bnd(arr: np.ndarray, n_parts: int, mb: int) -> np.ndarray:
     return out.reshape((n_parts * mb,) + arr.shape[1:])
 
 
-def stack_partitioned(ops: list[PartitionedOperator]) -> PartitionedOperator:
+def stack_partitioned(
+    ops: list[PartitionedOperator], min_mb: int = 0
+) -> PartitionedOperator:
     """Batch per-mesh partitioned operators along a new leading axis (all
     must share halo / n_parts / padded shape; boundary tables are re-padded
-    to the widest member)."""
+    to the widest member).  ``min_mb`` floors the per-partition boundary
+    width so different batches over one dataset stack to identical shapes
+    (one jit compilation)."""
 
     def stack_ell(ms: list[PartitionedEll]) -> PartitionedEll:
         assert all(m.halo == ms[0].halo and m.n_parts == ms[0].n_parts for m in ms)
         n_parts = ms[0].n_parts
-        mb = max(m.bnd_rows.shape[0] // n_parts for m in ms)
+        mb = max(min_mb, max(m.bnd_rows.shape[0] // n_parts for m in ms))
         return PartitionedEll(
             cols=np.stack([m.cols for m in ms]),
             vals=np.stack([m.vals for m in ms]),
@@ -338,13 +342,18 @@ def make_partitioned_spmm(mesh: Mesh, axis: str = "graph"):
 
 
 def shard_partitioned(mesh: Mesh, op: PartitionedOperator, axis: str | None = None):
-    """Device-put a PartitionedOperator row-sharded on its mesh axis."""
+    """Place a PartitionedOperator row-sharded on its mesh axis (multi-host
+    aware via ``put_global``)."""
+    from surfacenetworks_tpu.dist.mesh_setup import put_global
+
     axis = axis if axis is not None else op.fwd.axis
     batched = np.ndim(op.fwd.cols) == 3
     spec = P(None, axis) if batched else P(axis)
     sh = NamedSharding(mesh, spec)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), op)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sh), op)
 
 
 def shard_rows(mesh: Mesh, x, axis: str = "graph"):
-    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+    from surfacenetworks_tpu.dist.mesh_setup import put_global
+
+    return put_global(x, NamedSharding(mesh, P(axis)))

@@ -136,10 +136,12 @@ def place_graph_batch(
 ):
     """Device-put the partitioned operator and the ``[B, N, ...]`` arrays with
     the shardings ``make_graph_sharded_apply`` expects.  Returns (op, dict)."""
+    from surfacenetworks_tpu.dist.mesh_setup import put_global
+
     row_sh = NamedSharding(mesh, P(batch_axis, vertex_axis))
     op_sh = NamedSharding(
         mesh, P(batch_axis, vertex_axis) if _op_batched(op) else P(vertex_axis)
     )
-    op_d = jax.tree_util.tree_map(lambda a: jax.device_put(a, op_sh), op)
-    arrays_d = {k: jax.device_put(v, row_sh) for k, v in arrays.items()}
+    op_d = jax.tree_util.tree_map(lambda a: put_global(a, op_sh), op)
+    arrays_d = {k: put_global(v, row_sh) for k, v in arrays.items()}
     return op_d, arrays_d

@@ -44,3 +44,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def put_global(x, sharding: NamedSharding):
+    """Place host data with a sharding that may span processes.
+
+    Single-process this is ``jax.device_put``; multi-process it builds a
+    global jax.Array from the (identical-on-every-host) local copy via
+    ``make_array_from_callback`` — each process materializes only its own
+    addressable shards.  Every trainer/dist placement routes through here so
+    the same code path works on one chip, one host, and a DCN slice.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])

@@ -20,6 +20,8 @@ from flax import serialization
 def save_checkpoint(
     path: str, params: Any, opt_state: Any = None, epoch: int = 0, step: int = 0
 ) -> None:
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return  # multihost: params are replicated; only process 0 writes
     payload = {
         "params": serialization.to_state_dict(jax.device_get(params)),
         "epoch": np.asarray(epoch),

@@ -21,11 +21,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_distributed_cpu():
+def _run_two_process(worker_name: str, timeout: int = 240):
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
-    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    worker = os.path.join(os.path.dirname(__file__), worker_name)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
@@ -45,7 +44,7 @@ def test_two_process_distributed_cpu():
     outputs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=timeout)
             outputs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -54,3 +53,16 @@ def test_two_process_distributed_cpu():
     for i, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert "OK" in out, out
+
+
+@pytest.mark.slow
+def test_two_process_distributed_cpu():
+    _run_two_process("_multihost_worker.py")
+
+
+@pytest.mark.slow
+def test_two_process_full_trainers():
+    """Full CLI trainers across a 2-process mesh: train_normal
+    --multihost --data-parallel and train_correspondence --multihost
+    --graph-parallel (BASELINE config 5's code path, CPU-simulated)."""
+    _run_two_process("_multihost_trainer_worker.py", timeout=420)

@@ -384,6 +384,27 @@ def test_correspondence_cli_graph_parallel_smoke(tmp_path):
     )
 
 
+def test_correspondence_cli_graph_parallel_dirac_smoke(tmp_path):
+    """--graph-parallel 4 --model dir: the Dirac trunk (quaternion v/f
+    coupling) training loop with BOTH incidence tables row-partitioned over
+    4 devices (two-sided halo exchange, overlapped interior gathers)."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 4:
+        import pytest as _pytest
+
+        _pytest.skip("needs 4 virtual devices")
+    from surfacenetworks_tpu.cli import train_correspondence
+
+    train_correspondence.main(
+        [
+            "--synthetic", "3", "--layer", "2", "--num-epoch", "1",
+            "--num-updates", "2", "--graph-parallel", "4", "--model", "dir",
+            "--deser-option", "no", "--result-dir", str(tmp_path),
+        ]
+    )
+
+
 def test_amp_pyramid_semantics():
     """amp pyramid parity with the reference construction
     (dense_correspondence/main.py:73-84)."""
