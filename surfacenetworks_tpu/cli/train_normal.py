@@ -59,6 +59,10 @@ parser.add_argument("--graph-parallel", type=int, default=0,
                     help="edge-partition every operator's rows across this many devices "
                          "on the 'graph' mesh axis (lap and dirac models; ring halo "
                          "exchange per apply, overlapped with interior compute)")
+parser.add_argument("--buckets", type=int, default=1,
+                    help="number of size tiers for multi-bucket padding (each batch "
+                         "pads to the smallest tier that fits; costs one XLA "
+                         "compilation per tier)")
 parser.add_argument("--cascade-levels", type=int, default=4, help="pyramid depth for --model cas")
 parser.add_argument("--result-prefix", default="debug")
 parser.add_argument("--result-dir", default="results/normal_predict")
@@ -162,10 +166,20 @@ def main(argv=None):
             s.pop("dirac", None)  # stale coeffs: they bake in face order
 
     all_samples = train_samples + test_samples
-    buckets = Buckets.for_samples(
+    n_tiers = max(args.buckets, 1)
+    if n_tiers > 1 and (n_gp or args.model == "cas" or args.operator_format == "bsr"):
+        raise SystemExit("--buckets > 1 supports ell/auto/dense formats without "
+                         "--graph-parallel / cascade")
+    from surfacenetworks_tpu.data import BucketSet
+
+    bucketset = BucketSet.for_samples(
         all_samples,
+        n_tiers=n_tiers,
         multiple=128 if args.operator_format == "bsr" else (8 * n_gp if n_gp else 8),
     )
+    buckets = bucketset.tiers[-1]  # dataset-max tier (cascade/gp/init paths)
+    if len(bucketset.tiers) > 1:
+        log(f"bucket tiers: {[(b.n_vertices, b.n_faces) for b in bucketset.tiers]}")
     if args.model == "cas":
         # fine bucket must be divisible by 2**(levels-1) for the pool chain
         from surfacenetworks_tpu.data import cascade_batch
@@ -241,9 +255,10 @@ def main(argv=None):
 
         def make_batch(samples, plain=False):
             op = batch_operator(samples) if (batch_operator and not plain) else None
+            b = bucketset.select(samples) if len(bucketset.tiers) > 1 else buckets
             if is_dirac:
-                return dirac_batch(samples, buckets, operator=op)
-            return laplacian_batch(samples, buckets, fmt=args.operator_format, operator=op)
+                return dirac_batch(samples, b, operator=op)
+            return laplacian_batch(samples, b, fmt=args.operator_format, operator=op)
 
     model = build_model(args)
     init_samples = train_samples[: args.batch_size] or all_samples[: args.batch_size]
@@ -371,8 +386,18 @@ def main(argv=None):
             out,
         )
 
-    train_sampler = EpochSampler(train_samples, args.batch_size, seed=args.seed)
-    test_sampler = EpochSampler(test_samples, args.batch_size, shuffle=False)
+    if len(bucketset.tiers) > 1:
+        from surfacenetworks_tpu.cli.common import TieredSampler
+
+        train_sampler = TieredSampler(train_samples, bucketset, args.batch_size, seed=args.seed)
+        test_sampler = (
+            TieredSampler(test_samples, bucketset, args.batch_size, shuffle=False)
+            if test_samples
+            else EpochSampler(test_samples, args.batch_size, shuffle=False)
+        )
+    else:
+        train_sampler = EpochSampler(train_samples, args.batch_size, seed=args.seed)
+        test_sampler = EpochSampler(test_samples, args.batch_size, shuffle=False)
 
     profiling = False
     for epoch in range(start_epoch, args.num_epoch):

