@@ -37,6 +37,10 @@ parser.add_argument("--data-parallel", type=int, default=0,
                     help="shard the sequence batch across this many devices on the "
                          "'data' mesh axis (params replicated; batch size divisible)")
 parser.add_argument("--seed", type=int, default=17)
+parser.add_argument("--dump-rollout", default=None, metavar="DIR",
+                    help="after training, render a predicted 2->40-frame rollout of a "
+                         "test sequence as a GIF (viz.animate_sequence) + .npy dump "
+                         "(the headless analogue of draw_meshes.py)")
 config.add_config_flags(parser)
 
 MODELS = {
@@ -182,6 +186,28 @@ def main(argv=None):
             ),
             state.params, state.opt_state, epoch, int(state.step),
         )
+
+    if args.dump_rollout:
+        from surfacenetworks_tpu import viz
+
+        os.makedirs(args.dump_rollout, exist_ok=True)
+        test_counter[0] = 0
+        b = sample_test()
+        out = model.apply(
+            {"params": state.params}, b.operator, jnp.asarray(b.mask), jnp.asarray(b.inputs)
+        )
+        out = np.asarray(out * jnp.broadcast_to(jnp.asarray(b.mask), out.shape))
+        seq = sequences[n_train if len(sequences) > n_train else 0]
+        n = seq[0]["V"].shape[0]
+        F = np.asarray(seq[0]["F"], np.int32)
+        gt = [b.targets[0, :n, 3 * i : 3 * (i + 1)] for i in range(OUTPUT_FRAMES)]
+        pred = [out[0, :n, 3 * i : 3 * (i + 1)] for i in range(OUTPUT_FRAMES)]
+        np.save(os.path.join(args.dump_rollout, "rollout_pred.npy"), np.stack(pred))
+        np.save(os.path.join(args.dump_rollout, "rollout_gt.npy"), np.stack(gt))
+        gif = viz.animate_sequence(
+            gt, F, os.path.join(args.dump_rollout, "rollout.gif"), pred_frames=pred
+        )
+        log(f"rollout dumped to {gif}")
 
 
 if __name__ == "__main__":

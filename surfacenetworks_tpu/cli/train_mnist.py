@@ -25,6 +25,9 @@ parser.add_argument("--num-epoch", type=int, default=1000)
 parser.add_argument("--model", default="lap", help="lap | avg | mlp | dirac")
 parser.add_argument("--layer", type=int, default=5)
 parser.add_argument("--synthetic", type=int, default=0)
+parser.add_argument("--synthetic-classes", type=int, default=10,
+                    help="label count for --synthetic (3 = distinguishable blob "
+                         "counts, the convergence-evidence task)")
 parser.add_argument("--data-path", default=None, help="train_plus.np-style pickle")
 parser.add_argument("--lr", type=float, default=1e-3)
 parser.add_argument("--result-prefix", default="mnist")
@@ -46,7 +49,9 @@ MODELS = {
 
 def load_data(args):
     if args.synthetic:
-        data = datasets.synthetic_mnist_dataset(args.synthetic, seed=args.seed)
+        data = datasets.synthetic_mnist_dataset(
+            args.synthetic, seed=args.seed, n_classes=args.synthetic_classes
+        )
     else:
         data = datasets.load_mnist_mesh_pickle(args.data_path)
     sep = max(1, int(len(data) * 0.8))
