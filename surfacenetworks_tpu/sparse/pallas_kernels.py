@@ -39,18 +39,27 @@ Where Pallas DOES win here: the windowed ``sddmm`` below (178 us vs
 351 us for the XLA gather formulation at the same shape) — computing a
 dense score tile on the MXU and sampling it beats HBM row gathers.
 
-Dirac banded-MXU verdict (round 2, measured): a windowed Pallas kernel for
-the Dirac applies CANNOT win either and is intentionally not shipped.  The
-Hamilton product is linear, so ``Di v`` decomposes into 4 banded scalar
-matmuls (one per quaternion coefficient component) + a fixed quarter-lane
-recombination — all MXU work, no HBM gathers.  Measured at FAUST scale
-(N=7000/M=14080/C=128, RCM vertices + min-vertex-sorted faces, windows
-vf=384 / fv=768): roundtrip **619 us** at default MXU precision (4.3e-3 rel
-error) and 839 us at HIGHEST, vs **~240 us** for the flat-lane gather path
-(sparse/ops.py) — the fv window is wide enough that the per-tile densify +
-4 matmuls dwarf the gathers they replace.  The gather path runs at the
-device's gather-issue rate (~98K row-gathers x ~2.4 ns), which is the
-operative speed-of-light for this operator shape.
+Dirac banded-MXU verdicts (rounds 2-3, measured): MXU formulations of the
+Dirac applies CANNOT win and are intentionally not shipped.  The Hamilton
+product is linear, so ``Di v`` decomposes into 4 scalar matmuls (one per
+quaternion coefficient component) + a fixed quarter-lane recombination —
+all MXU work, no HBM gathers.  Two shapes were built and benched at FAUST
+scale (N=7000/M=14080/C=128, RCM vertices + min-vertex-sorted faces):
+
+* round 2, windowed Pallas tiles (windows vf=384 / fv=768): roundtrip
+  **619 us** default precision / 839 us HIGHEST — per-tile densify + 4
+  matmuls dwarf the gathers they replace;
+* round 3, 4-component BSR/MXU (the formulation that wins the Laplacian
+  bench, full 128-lane width): roundtrip **296 us**, 4.2e-3 rel error
+  (bf16 MXU rounding) — still behind the gather path.
+
+The flat-lane gather path (sparse/ops.py) measures **236 us** roundtrip vs
+a benched pure-gather roofline of **187.5 us** at the exact same table
+shapes (same row gathers, Hamilton product removed — bench.py
+``dirac_gather_roofline_us``): the shipped apply runs at **~0.79 of the
+gather-issue ceiling**, which is the operative speed-of-light for this
+operator shape (replaces the round-2 asserted ~2.4 ns/gather estimate
+with a measurement).
 
 Falls back to interpreter mode automatically off-TPU so CPU tests exercise
 the same code path.
