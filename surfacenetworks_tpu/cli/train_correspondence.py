@@ -116,8 +116,11 @@ def main(argv=None):
     n_gp = args.graph_parallel if args.graph_parallel > 1 else 0
     if n_gp and model_key not in ("lap", "dirac"):
         raise SystemExit("--graph-parallel supports the lap and dir trunks")
-    if n_gp and use_bsr:
-        raise SystemExit("--graph-parallel partitions ELL operators; drop --operator-format bsr")
+    # with graph parallelism, 'bsr' selects the MXU block interior of the
+    # partitioned operator (boundary side table stays ELL)
+    gp_interior = "bsr" if (n_gp and use_bsr) else "ell"
+    if n_gp:
+        use_bsr = False
     if use_bsr or n_gp:
         from surfacenetworks_tpu.data import rcm_reorder_sample
 
@@ -132,7 +135,10 @@ def main(argv=None):
             s_["F"] = np.asarray(s_["F"])[fperm]
             s_.pop("dirac", None)  # stale coeffs: they bake in face order
     buckets = Buckets.for_samples(
-        data, multiple=128 if use_bsr else (8 * n_gp if n_gp else 8)
+        data,
+        multiple=128 if use_bsr else (
+            (128 if gp_interior == "bsr" else 8) * n_gp if n_gp else 8
+        ),
     )
     if model_key == "amp":
         kmax = max(
@@ -177,7 +183,8 @@ def main(argv=None):
                 return dirac_partition.shard_partitioned_dirac(gmesh, pop)
             halo = min(edge_partition.suggest_halo(sample["L"]), N // n_gp)
             pop = graph_parallel.partition_batch_operator(
-                [sample["L"]], n_gp, n_rows=N, halo=halo, k=buckets.ell_k
+                [sample["L"]], n_gp, n_rows=N, halo=halo, k=buckets.ell_k,
+                interior_fmt=gp_interior,
             )
             return edge_partition.shard_partitioned(gmesh, pop)
 

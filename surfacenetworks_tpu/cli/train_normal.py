@@ -145,13 +145,16 @@ def main(argv=None):
 
     is_dirac = args.model.startswith("dirac")
     n_gp = args.graph_parallel if args.graph_parallel > 1 else 0
+    gp_interior = "ell"
     if n_gp:
         if args.model not in ("lap", "dirac"):
             raise SystemExit("--graph-parallel supports the lap and dirac models")
         if args.data_parallel > 1:
             raise SystemExit("--graph-parallel and --data-parallel are mutually exclusive here")
-        if args.operator_format not in ("auto", "ell"):
-            raise SystemExit("--graph-parallel partitions ELL operators; use --operator-format ell")
+        if args.operator_format == "bsr" and not is_dirac:
+            gp_interior = "bsr"  # MXU block interior of the partitioned operator
+        elif args.operator_format not in ("auto", "ell"):
+            raise SystemExit("--graph-parallel supports ell or bsr operator formats")
         args.operator_format = "ell"
     if (args.operator_format == "bsr" and not is_dirac) or n_gp:
         train_samples = [rcm_reorder_sample(s) for s in train_samples]
@@ -175,7 +178,9 @@ def main(argv=None):
     bucketset = BucketSet.for_samples(
         all_samples,
         n_tiers=n_tiers,
-        multiple=128 if args.operator_format == "bsr" else (8 * n_gp if n_gp else 8),
+        multiple=128 if args.operator_format == "bsr" else (
+            (128 if gp_interior == "bsr" else 8) * n_gp if n_gp else 8
+        ),
     )
     buckets = bucketset.tiers[-1]  # dataset-max tier (cascade/gp/init paths)
     if len(bucketset.tiers) > 1:
@@ -238,7 +243,8 @@ def main(argv=None):
                 )
                 pops = [
                     edge_partition.partition_operator(
-                        s["L"], n_gp, halo=halo, k=buckets.ell_k, n_rows=N
+                        s["L"], n_gp, halo=halo, k=buckets.ell_k, n_rows=N,
+                        interior_fmt=gp_interior,
                     )
                     for s in all_samples
                 ]

@@ -80,8 +80,14 @@ class PartitionedEll:
     bnd_rows: Any  # int32 [..., n_parts*Mb] — partition-local row indices
     bnd_cols: Any  # int32 [..., n_parts*Mb, K] — extended frame
     bnd_vals: Any  # f32 [..., n_parts*Mb, K]
-    halo: int = struct.field(pytree_node=False)
-    n_parts: int = struct.field(pytree_node=False)
+    # Optional MXU interior (interior_fmt='bsr'): per-partition block-ELL of
+    # the interior rows in LOCAL block coordinates.  The interior matmul then
+    # rides the batched-MXU path that wins the single-chip bench (~13x over
+    # the ELL gather formulation) while the boundary side table stays ELL.
+    bsr_cols: Any = None  # int32 [..., N/bs, KB] — LOCAL block frame
+    bsr_vals: Any = None  # f32 [..., N/bs, KB, bs, bs]
+    halo: int = struct.field(pytree_node=False, default=0)
+    n_parts: int = struct.field(pytree_node=False, default=1)
     axis: str = struct.field(pytree_node=False, default="graph")
 
 
@@ -114,6 +120,8 @@ def partition_ell(
     k: int = 16,
     n_rows: int | None = None,
     axis: str = "graph",
+    interior_fmt: str = "ell",
+    block_size: int = 128,
 ) -> PartitionedEll:
     """Pack a square operator into interior/boundary row partitions.
 
@@ -121,6 +129,11 @@ def partition_ell(
     Rows whose every nonzero stays inside their own partition band go into
     the interior table (local-frame columns, exchange-independent); the rest
     go into the boundary side table (extended-frame columns).
+
+    ``interior_fmt='bsr'`` additionally packs each partition's interior into
+    LOCAL-frame block-ELL (``block_size`` x ``block_size`` MXU tiles) so the
+    interior matmul runs on the MXU; requires the partition size to be a
+    multiple of ``block_size``.
     """
     M = M.tocsr().astype(np.float32)
     N = n_rows if n_rows is not None else M.shape[0]
@@ -174,12 +187,43 @@ def partition_ell(
         bnd_rows[p, : rloc.size] = rloc
         bnd_cols[p, : rloc.size] = ext_cols[p * n_loc + rloc]
         bnd_vals[p, : rloc.size] = ext_vals[p * n_loc + rloc]
+
+    bsr_cols = bsr_vals = None
+    if interior_fmt == "bsr":
+        from surfacenetworks_tpu.sparse.bsr import bsr_from_scipy
+
+        if n_loc % block_size:
+            raise ValueError(
+                f"interior_fmt='bsr' needs partition size {n_loc} divisible by "
+                f"block size {block_size}"
+            )
+        # per-partition interior matrix in LOCAL coordinates (boundary rows
+        # are all-zero here, matching the ELL interior exactly)
+        mats = []
+        for p in range(n_parts):
+            rows = np.repeat(np.arange(n_loc), k)
+            pc = cols[p * n_loc : (p + 1) * n_loc].reshape(-1)
+            pv = vals[p * n_loc : (p + 1) * n_loc].reshape(-1)
+            keep = pv != 0
+            mats.append(
+                sp.coo_matrix((pv[keep], (rows[keep], pc[keep])), shape=(n_loc, n_loc)).tocsr()
+            )
+        packed = [bsr_from_scipy(m, block_size=block_size) for m in mats]
+        kb = max(pm.block_cols.shape[-1] for pm in packed)
+        packed = [bsr_from_scipy(m, block_size=block_size, k=kb) for m in mats]
+        bsr_cols = np.concatenate([pm.block_cols for pm in packed], axis=0)
+        bsr_vals = np.concatenate([pm.block_vals for pm in packed], axis=0)
+    elif interior_fmt != "ell":
+        raise ValueError(f"unknown interior_fmt {interior_fmt!r}")
+
     return PartitionedEll(
         cols=cols,
         vals=vals,
         bnd_rows=bnd_rows.reshape(n_parts * mb),
         bnd_cols=bnd_cols.reshape(n_parts * mb, k),
         bnd_vals=bnd_vals.reshape(n_parts * mb, k),
+        bsr_cols=bsr_cols,
+        bsr_vals=bsr_vals,
         halo=halo,
         n_parts=n_parts,
         axis=axis,
@@ -197,10 +241,14 @@ def partition_operator(
     k: int = 16,
     n_rows: int | None = None,
     axis: str = "graph",
+    interior_fmt: str = "ell",
+    block_size: int = 128,
 ) -> PartitionedOperator:
     return PartitionedOperator(
-        fwd=partition_ell(M, n_parts, halo, k, n_rows, axis),
-        bwd=partition_ell(M.T.tocsr(), n_parts, halo, k, n_rows, axis),
+        fwd=partition_ell(M, n_parts, halo, k, n_rows, axis, interior_fmt, block_size),
+        bwd=partition_ell(
+            M.T.tocsr(), n_parts, halo, k, n_rows, axis, interior_fmt, block_size
+        ),
     )
 
 
@@ -228,12 +276,25 @@ def stack_partitioned(
         assert all(m.halo == ms[0].halo and m.n_parts == ms[0].n_parts for m in ms)
         n_parts = ms[0].n_parts
         mb = max(min_mb, max(m.bnd_rows.shape[0] // n_parts for m in ms))
+        bsr_cols = bsr_vals = None
+        if ms[0].bsr_vals is not None:
+            kb = max(m.bsr_cols.shape[-1] for m in ms)
+
+            def pad_kb(a, fill_shape):
+                pad = [(0, 0)] * a.ndim
+                pad[1] = (0, kb - a.shape[1])
+                return np.pad(a, pad)
+
+            bsr_cols = np.stack([pad_kb(np.asarray(m.bsr_cols), kb) for m in ms])
+            bsr_vals = np.stack([pad_kb(np.asarray(m.bsr_vals), kb) for m in ms])
         return PartitionedEll(
             cols=np.stack([m.cols for m in ms]),
             vals=np.stack([m.vals for m in ms]),
             bnd_rows=np.stack([_repad_bnd(np.asarray(m.bnd_rows), n_parts, mb) for m in ms]),
             bnd_cols=np.stack([_repad_bnd(np.asarray(m.bnd_cols), n_parts, mb) for m in ms]),
             bnd_vals=np.stack([_repad_bnd(np.asarray(m.bnd_vals), n_parts, mb) for m in ms]),
+            bsr_cols=bsr_cols,
+            bsr_vals=bsr_vals,
             halo=ms[0].halo,
             n_parts=ms[0].n_parts,
             axis=ms[0].axis,
@@ -278,6 +339,15 @@ def _scatter_add_rows(y, rows, upd):
     return jax.vmap(_scatter_add_rows)(y, rows, upd)
 
 
+def _bsr_local(bcols, bvals, x_loc):
+    from surfacenetworks_tpu.sparse.bsr import _bsr_matmul_xla
+
+    if bcols.ndim == 2:
+        return _bsr_matmul_xla(bcols, bvals, x_loc)
+    assert bcols.ndim == 3 and x_loc.ndim == 3
+    return jax.vmap(_bsr_matmul_xla)(bcols, bvals, x_loc)
+
+
 def _apply_local(m: PartitionedEll, x_loc: jnp.ndarray) -> jnp.ndarray:
     """Interior/boundary split apply — the overlap structure.
 
@@ -287,8 +357,14 @@ def _apply_local(m: PartitionedEll, x_loc: jnp.ndarray) -> jnp.ndarray:
     small boundary matmul sits behind collective-permute-done.  Numerically
     the split is exact: boundary rows contribute +0.0 in the interior table
     and are summed in their original slot order in the boundary table.
+
+    With a BSR interior (``interior_fmt='bsr'``) the interior runs on the
+    MXU via the batched block matmul instead of the ELL gather.
     """
-    y = _ell_local(m.cols, m.vals, x_loc)
+    if m.bsr_vals is not None:
+        y = _bsr_local(m.bsr_cols, m.bsr_vals, x_loc)
+    else:
+        y = _ell_local(m.cols, m.vals, x_loc)
     if m.halo == 0 or m.bnd_rows.shape[-1] == 0:
         return y
     x_ext = _halo_exchange(x_loc, m.halo, m.axis)

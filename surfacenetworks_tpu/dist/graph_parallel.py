@@ -50,13 +50,21 @@ def partition_batch_operator(
     halo: int | None = None,
     k: int = 16,
     axis: str = "graph",
+    interior_fmt: str = "ell",
 ) -> PartitionedOperator:
     """Partition a list of per-mesh scipy operators (RCM-reordered) into one
     batched ``PartitionedOperator`` [B, N, K].  ``halo=None`` derives the
-    narrowest sufficient halo from the worst member bandwidth."""
+    narrowest sufficient halo from the worst member bandwidth.
+    ``interior_fmt='bsr'`` packs MXU block interiors (partition size must be
+    a 128 multiple)."""
     if halo is None:
         halo = max(suggest_halo(L) for L in Ls)
-    ops = [partition_operator(L, n_parts, halo=halo, k=k, n_rows=n_rows, axis=axis) for L in Ls]
+    ops = [
+        partition_operator(
+            L, n_parts, halo=halo, k=k, n_rows=n_rows, axis=axis, interior_fmt=interior_fmt
+        )
+        for L in Ls
+    ]
     return stack_partitioned(ops)
 
 

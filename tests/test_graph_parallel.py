@@ -83,6 +83,37 @@ def test_narrow_halo_spmm_forward_and_grad():
     np.testing.assert_allclose(np.asarray(g), Lp.T @ w, rtol=1e-4, atol=1e-5)
 
 
+def test_bsr_interior_matches_ell_interior():
+    """interior_fmt='bsr' (MXU block interior) == ELL interior == scipy,
+    forward and backward, on a 4-partition mesh with 128-multiple parts."""
+    L, V, F = _banded_mesh(700, seed=9)
+    n_parts = 4
+    N = _pad_to(L.shape[0], n_parts, multiple=128)
+    halo = min(edge_partition.suggest_halo(L), N // n_parts)
+    op_e = edge_partition.partition_operator(L, n_parts, halo=halo, k=16, n_rows=N)
+    op_b = edge_partition.partition_operator(
+        L, n_parts, halo=halo, k=16, n_rows=N, interior_fmt="bsr"
+    )
+    assert op_b.fwd.bsr_vals is not None
+    mesh = make_mesh(n_data=2, n_graph=n_parts)
+    pspmm = edge_partition.make_partitioned_spmm(mesh)
+    rng = np.random.default_rng(10)
+    x = rng.normal(size=(N, 16)).astype(np.float32)
+    w = rng.normal(size=(N, 16)).astype(np.float32)
+    with mesh:
+        xe = edge_partition.shard_rows(mesh, jnp.asarray(x))
+        we = edge_partition.shard_rows(mesh, jnp.asarray(w))
+        out_e = jax.jit(pspmm)(edge_partition.shard_partitioned(mesh, op_e), xe)
+        op_bd = edge_partition.shard_partitioned(mesh, op_b)
+        out_b = jax.jit(pspmm)(op_bd, xe)
+        g_b = jax.jit(jax.grad(lambda x: jnp.sum(pspmm(op_bd, x) * we)))(xe)
+    Lp = L.copy()
+    Lp.resize((N, N))
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_e), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_b), Lp @ x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_b), Lp.T @ w, rtol=1e-4, atol=1e-4)
+
+
 def test_bandwidth_guard_boundary():
     """halo == bandwidth passes; halo == bandwidth - 1 raises."""
     L, V, F = _banded_mesh(200, seed=3)
