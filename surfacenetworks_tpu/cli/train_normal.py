@@ -252,11 +252,19 @@ def main(argv=None):
                     max(o.fwd.bnd_rows.shape[0], o.bwd.bnd_rows.shape[0]) // n_gp
                     for o in pops
                 )
+                kb = (
+                    max(
+                        max(o.fwd.bsr_cols.shape[-1], o.bwd.bsr_cols.shape[-1])
+                        for o in pops
+                    )
+                    if gp_interior == "bsr"
+                    else 0
+                )
                 _pcache = {id(s): o for s, o in zip(all_samples, pops)}
 
                 def batch_operator(samples):
                     return edge_partition.stack_partitioned(
-                        [_pcache[id(s)] for s in samples], min_mb=mb
+                        [_pcache[id(s)] for s in samples], min_mb=mb, min_kb=kb
                     )
 
         def make_batch(samples, plain=False):

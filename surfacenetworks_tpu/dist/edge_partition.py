@@ -264,13 +264,13 @@ def _repad_bnd(arr: np.ndarray, n_parts: int, mb: int) -> np.ndarray:
 
 
 def stack_partitioned(
-    ops: list[PartitionedOperator], min_mb: int = 0
+    ops: list[PartitionedOperator], min_mb: int = 0, min_kb: int = 0
 ) -> PartitionedOperator:
     """Batch per-mesh partitioned operators along a new leading axis (all
     must share halo / n_parts / padded shape; boundary tables are re-padded
-    to the widest member).  ``min_mb`` floors the per-partition boundary
-    width so different batches over one dataset stack to identical shapes
-    (one jit compilation)."""
+    to the widest member).  ``min_mb`` / ``min_kb`` floor the boundary width
+    and the BSR-interior block width so different batches over one dataset
+    stack to identical shapes (one jit compilation)."""
 
     def stack_ell(ms: list[PartitionedEll]) -> PartitionedEll:
         assert all(m.halo == ms[0].halo and m.n_parts == ms[0].n_parts for m in ms)
@@ -278,7 +278,7 @@ def stack_partitioned(
         mb = max(min_mb, max(m.bnd_rows.shape[0] // n_parts for m in ms))
         bsr_cols = bsr_vals = None
         if ms[0].bsr_vals is not None:
-            kb = max(m.bsr_cols.shape[-1] for m in ms)
+            kb = max(min_kb, max(m.bsr_cols.shape[-1] for m in ms))
 
             def pad_kb(a, fill_shape):
                 pad = [(0, 0)] * a.ndim
