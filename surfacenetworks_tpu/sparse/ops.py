@@ -116,7 +116,19 @@ def _sddmm_xla(cols, vals, a, b):
 
 
 def _sddmm_raw(cols, vals, a, b, window, impl=None):
-    impl = impl or _DEFAULT_IMPL
+    # Unlike SpMM (where the BSR/MXU einsum wins and Pallas stays opt-in),
+    # the windowed Pallas SDDMM beats the XLA gather form ~2x at banded
+    # patterns on TPU (179 vs 351 us at FAUST shapes, BENCH r02/r03), so it
+    # is the DEFAULT whenever a verified window bound exists on TPU.
+    if impl is None:
+        impl = _DEFAULT_IMPL
+        if window > 0:
+            try:
+                on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+            except Exception:  # pragma: no cover
+                on_tpu = False
+            if on_tpu:
+                impl = "pallas"
     if impl == "pallas" and window > 0:
         from surfacenetworks_tpu.sparse import pallas_kernels
 
