@@ -146,11 +146,14 @@ def main(argv=None):
     is_dirac = args.model.startswith("dirac")
     n_gp = args.graph_parallel if args.graph_parallel > 1 else 0
     gp_interior = "ell"
+    gp_dp = args.data_parallel if (n_gp and args.data_parallel > 1) else 0
     if n_gp:
         if args.model not in ("lap", "dirac"):
             raise SystemExit("--graph-parallel supports the lap and dirac models")
-        if args.data_parallel > 1:
-            raise SystemExit("--graph-parallel and --data-parallel are mutually exclusive here")
+        if gp_dp and args.batch_size % gp_dp:
+            raise SystemExit(
+                f"batch size {args.batch_size} not divisible by --data-parallel {gp_dp}"
+            )
         if args.operator_format == "bsr" and not is_dirac:
             gp_interior = "bsr"  # MXU block interior of the partitioned operator
         elif args.operator_format not in ("auto", "ell"):
@@ -203,7 +206,10 @@ def main(argv=None):
                 dirac_partition, edge_partition, graph_parallel, make_mesh,
             )
 
-            gmesh = make_mesh(n_data=1, n_graph=n_gp)
+            # DP x GP composition: mesh batch over 'data', vertex rows over
+            # 'graph' (the dryrun-proven ('data','graph') layout, now a
+            # trainer capability)
+            gmesh = make_mesh(n_data=max(gp_dp, 1), n_graph=n_gp)
             N = buckets.n_vertices
             if is_dirac:
                 from surfacenetworks_tpu import native
@@ -314,7 +320,7 @@ def main(argv=None):
         apply_fn = graph_parallel.make_graph_sharded_apply(
             gmesh,
             lambda p, op, mk, x: model.apply({"params": p}, op, mk, x),
-            batch_axis=None,
+            batch_axis="data" if gp_dp else None,
         )
     else:
         def apply_fn(p, op, mk, x):
@@ -331,7 +337,7 @@ def main(argv=None):
         (loss, mad), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
         return state.apply_gradients(grads), loss, mad
 
-    n_dp = args.data_parallel if args.data_parallel > 1 else 0
+    n_dp = args.data_parallel if (args.data_parallel > 1 and not n_gp) else 0
     if n_dp:
         if args.model == "cas":
             raise SystemExit("--data-parallel does not support the cascade model")
@@ -367,6 +373,7 @@ def main(argv=None):
                 "inputs": np.asarray(batch.inputs),
                 "targets": np.asarray(batch.targets),
             },
+            batch_axis="data" if gp_dp else None,
         )
         return op_d, arrs
 

@@ -444,3 +444,25 @@ def test_correspondence_cli_amp_and_intrinsic(tmp_path):
             "--result-dir", str(tmp_path / "intr"),
         ]
     )
+
+
+def test_normal_cli_dp_x_gp_smoke(tmp_path):
+    """--data-parallel 2 --graph-parallel 4: the ('data','graph') composed
+    mesh as a trainer capability — batch over 'data', vertex rows over
+    'graph', params replicated, one shard_map."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 8:
+        import pytest as _pytest
+
+        _pytest.skip("needs 8 virtual devices")
+    from surfacenetworks_tpu.cli import train_normal
+
+    train_normal.main(
+        [
+            "--synthetic", "6", "--num-epoch", "1", "--num-updates", "2",
+            "--layer", "2", "--batch-size", "4",
+            "--graph-parallel", "4", "--data-parallel", "2",
+            "--result-dir", str(tmp_path), "--debug",
+        ]
+    )
