@@ -36,6 +36,10 @@ parser.add_argument("--lr", type=float, default=1e-3)
 parser.add_argument("--data-parallel", type=int, default=0,
                     help="shard the sequence batch across this many devices on the "
                          "'data' mesh axis (params replicated; batch size divisible)")
+parser.add_argument("--graph-parallel", type=int, default=0,
+                    help="edge-partition every per-frame operator's rows across this "
+                         "many devices on the 'graph' mesh axis (lap and dir models; "
+                         "ring halo exchange per apply, overlapped with interior compute)")
 parser.add_argument("--seed", type=int, default=17)
 parser.add_argument("--dump-rollout", default=None, metavar="DIR",
                     help="after training, render a predicted 2->40-frame rollout of a "
@@ -72,10 +76,83 @@ def main(argv=None):
 
     sequences = load_sequences(args)
     n_train = max(len(sequences) * 8 // 10, 1)
-    buckets = Buckets.for_samples([{"V": s[0]["V"], "F": s[0]["F"]} for s in sequences])
+    n_gp = args.graph_parallel if args.graph_parallel > 1 else 0
+    if n_gp:
+        if args.model not in ("lap", "dir"):
+            raise SystemExit("--graph-parallel supports the lap and dir models")
+        if args.dense:
+            raise SystemExit("--graph-parallel partitions sparse operators; drop --dense")
+        if args.data_parallel > 1:
+            raise SystemExit("--graph-parallel and --data-parallel are mutually exclusive here")
+        from surfacenetworks_tpu.data import rcm_reorder_sequence
+
+        sequences = [rcm_reorder_sequence(s) for s in sequences]
+        if args.model == "dir":
+            from surfacenetworks_tpu.dist import dirac_partition
+
+            for seq in sequences:
+                fperm = dirac_partition.sort_faces_for_partition(seq[0]["F"])
+                for f in seq:
+                    f["F"] = np.asarray(f["F"])[fperm]
+                    f.pop("dirac", None)
+    buckets = Buckets.for_samples(
+        [{"V": s[0]["V"], "F": s[0]["F"]} for s in sequences],
+        multiple=8 * n_gp if n_gp else 8,
+    )
     rng_np = np.random.default_rng(args.seed)
 
     model = MODELS[args.model](layers=args.layer)
+
+    batch_operator = None
+    if n_gp:
+        from surfacenetworks_tpu import native
+        from surfacenetworks_tpu.dist import (
+            dirac_partition, edge_partition, graph_parallel, make_mesh,
+        )
+
+        gmesh = make_mesh(n_data=1, n_graph=n_gp)
+        # operator frames: the reference computes operators on the first 10
+        # frames only; every pick's operator frame lands in [1, 9]
+        op_frames = [
+            (si, fi)
+            for si, seq in enumerate(sequences)
+            for fi in range(min(10, len(seq)))
+            if (args.model == "dir" or "L" in seq[fi])
+        ]
+        if args.model == "dir":
+            def _coeffs(f):
+                c = f.get("dirac")
+                return c if c is not None else native.dirac_coeffs(f["V"], f["F"])
+
+            pops, floors = graph_parallel.prepartition_dirac(
+                [_coeffs(sequences[si][fi]) for si, fi in op_frames],
+                n_gp, buckets.n_vertices, buckets.n_faces,
+                max_valence=buckets.max_valence,
+            )
+            _pcache = dict(zip(op_frames, pops))
+
+            def batch_operator(picks):
+                return dirac_partition.stack_partitioned_dirac(
+                    [_pcache[(si, off + INPUT_FRAMES - 1)] for si, off in picks], **floors
+                )
+        else:
+            pops, floors = graph_parallel.prepartition_ell(
+                [sequences[si][fi]["L"] for si, fi in op_frames],
+                n_gp, n_rows=buckets.n_vertices, k=buckets.ell_k,
+            )
+            _pcache = dict(zip(op_frames, pops))
+
+            def batch_operator(picks):
+                return edge_partition.stack_partitioned(
+                    [_pcache[(si, off + INPUT_FRAMES - 1)] for si, off in picks], **floors
+                )
+
+    def _batch_of(picks, plain=False):
+        op = batch_operator(picks) if (batch_operator and not plain) else None
+        return arap_batch(
+            sequences, picks, buckets, model="dirac" if args.model == "dir" else "lap",
+            fmt="dense" if args.dense else "ell", operator=op,
+        )
 
     def sample_train():
         picks = []
@@ -85,10 +162,7 @@ def main(argv=None):
             # operators exist only on the first 10 frames (reference pipeline)
             max_off = min(max_off, 10 - INPUT_FRAMES)
             picks.append((ind, int(rng_np.integers(0, max(max_off, 1)))))
-        return arap_batch(
-            sequences, picks, buckets, model="dirac" if args.model == "dir" else "lap",
-            fmt="dense" if args.dense else "ell",
-        )
+        return _batch_of(picks)
 
     test_counter = [0]
 
@@ -101,12 +175,11 @@ def main(argv=None):
             )
             test_counter[0] += 1
             picks.append((ind, off))
-        return arap_batch(
-            sequences, picks, buckets, model="dirac" if args.model == "dir" else "lap",
-            fmt="dense" if args.dense else "ell",
-        )
+        return _batch_of(picks)
 
-    b0 = sample_train()
+    # init with a plain operator (param shapes are operator-representation
+    # independent; partitioned ops only work inside the shard_map)
+    b0 = _batch_of([(0, 0)] * args.batch_size, plain=True) if n_gp else sample_train()
     params = model.init(
         jax.random.key(0), b0.operator, jnp.asarray(b0.mask), jnp.asarray(b0.inputs)
     )["params"]
@@ -114,10 +187,20 @@ def main(argv=None):
     lr = optim.epoch_halving_schedule(args.lr, args.num_updates, 50, 10)
     state = TrainState.create(params, optim.adam(lr, weight_decay=1e-5))
 
+    if n_gp:
+        apply_fn = graph_parallel.make_graph_sharded_apply(
+            gmesh,
+            lambda p, op, mk, x: model.apply({"params": p}, op, mk, x),
+            batch_axis=None,
+        )
+    else:
+        def apply_fn(p, op, mk, x):
+            return model.apply({"params": p}, op, mk, x)
+
     @jax.jit
     def train_step(state, operator, mask, inputs, targets):
         def objective(params):
-            out = model.apply({"params": params}, operator, mask, inputs)
+            out = apply_fn(params, operator, mask, inputs)
             out = out * jnp.broadcast_to(mask, out.shape)
             return losses.smooth_l1_sum(out, targets, inputs.shape[0]), ()
 
@@ -126,7 +209,7 @@ def main(argv=None):
 
     @jax.jit
     def eval_step(params, operator, mask, inputs, targets):
-        out = model.apply({"params": params}, operator, mask, inputs)
+        out = apply_fn(params, operator, mask, inputs)
         out = out * jnp.broadcast_to(mask, out.shape)
         return losses.smooth_l1_sum(out, targets, inputs.shape[0])
 

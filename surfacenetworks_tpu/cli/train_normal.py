@@ -218,59 +218,26 @@ def main(argv=None):
                     c = s.get("dirac")
                     return c if c is not None else native.dirac_coeffs(s["V"], s["F"])
 
-                pops = [
-                    dirac_partition.partition_dirac(
-                        _coeffs(s), n_gp, N, buckets.n_faces, max_valence=buckets.max_valence
-                    )
-                    for s in all_samples
-                ]
-                halo_v = max(o.halo_v for o in pops)
-                halo_f = max(o.halo_f for o in pops)
-                pops = [
-                    o if (o.halo_v == halo_v and o.halo_f == halo_f)
-                    else dirac_partition.partition_dirac(
-                        _coeffs(s), n_gp, N, buckets.n_faces,
-                        halo_v=halo_v, halo_f=halo_f, max_valence=buckets.max_valence,
-                    )
-                    for o, s in zip(pops, all_samples)
-                ]
-                mbf = max(o.fbnd_rows.shape[0] // n_gp for o in pops)
-                mbv = max(o.vbnd_rows.shape[0] // n_gp for o in pops)
+                pops, floors = graph_parallel.prepartition_dirac(
+                    [_coeffs(s) for s in all_samples], n_gp, N, buckets.n_faces,
+                    max_valence=buckets.max_valence,
+                )
                 _pcache = {id(s): o for s, o in zip(all_samples, pops)}
 
                 def batch_operator(samples):
                     return dirac_partition.stack_partitioned_dirac(
-                        [_pcache[id(s)] for s in samples], min_mbf=mbf, min_mbv=mbv
+                        [_pcache[id(s)] for s in samples], **floors
                     )
             else:
-                halo = min(
-                    max(edge_partition.suggest_halo(s["L"]) for s in all_samples),
-                    N // n_gp,
-                )
-                pops = [
-                    edge_partition.partition_operator(
-                        s["L"], n_gp, halo=halo, k=buckets.ell_k, n_rows=N,
-                        interior_fmt=gp_interior,
-                    )
-                    for s in all_samples
-                ]
-                mb = max(
-                    max(o.fwd.bnd_rows.shape[0], o.bwd.bnd_rows.shape[0]) // n_gp
-                    for o in pops
-                )
-                kb = (
-                    max(
-                        max(o.fwd.bsr_cols.shape[-1], o.bwd.bsr_cols.shape[-1])
-                        for o in pops
-                    )
-                    if gp_interior == "bsr"
-                    else 0
+                pops, floors = graph_parallel.prepartition_ell(
+                    [s["L"] for s in all_samples], n_gp, n_rows=N,
+                    k=buckets.ell_k, interior_fmt=gp_interior,
                 )
                 _pcache = {id(s): o for s, o in zip(all_samples, pops)}
 
                 def batch_operator(samples):
                     return edge_partition.stack_partitioned(
-                        [_pcache[id(s)] for s in samples], min_mb=mb, min_kb=kb
+                        [_pcache[id(s)] for s in samples], **floors
                     )
 
         def make_batch(samples, plain=False):

@@ -14,6 +14,7 @@ from surfacenetworks_tpu.data.batching import (
     mnist_batch,
     pad_rows,
     rcm_reorder_sample,
+    rcm_reorder_sequence,
     round_up,
     vae_batch,
 )
@@ -34,6 +35,7 @@ __all__ = [
     "mnist_batch",
     "pad_rows",
     "rcm_reorder_sample",
+    "rcm_reorder_sequence",
     "round_up",
     "vae_batch",
 ]

@@ -181,6 +181,40 @@ def pad_rows(a: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def _rcm_perm_of(sample: dict) -> np.ndarray:
+    """RCM permutation from a sample's Laplacian, or from the face-edge
+    adjacency graph for Dirac-only samples."""
+    from surfacenetworks_tpu.sparse import rcm_permutation
+
+    if "L" in sample:
+        return rcm_permutation(sample["L"])
+    F = np.asarray(sample["F"])
+    n_ = sample["V"].shape[0]
+    r = np.concatenate([F[:, 0], F[:, 1], F[:, 2], F[:, 1], F[:, 2], F[:, 0]])
+    c = np.concatenate([F[:, 1], F[:, 2], F[:, 0], F[:, 0], F[:, 1], F[:, 2]])
+    A = sp.coo_matrix((np.ones_like(r, np.float32), (r, c)), shape=(n_, n_)).tocsr()
+    return rcm_permutation(A)
+
+
+def rcm_reorder_sequence(seq: list[dict]) -> list[dict]:
+    """RCM-reorder an ARAP frame sequence with ONE permutation (from the
+    first operator frame) applied to every frame's V/L/F, so the banded
+    structure is shared and per-frame partitioned operators align."""
+    perm = _rcm_perm_of(seq[0])
+    inv = geo.invert_permutation(perm)
+    out = []
+    for f in seq:
+        g = dict(f)
+        g["V"] = np.asarray(f["V"])[perm]
+        if "F" in f:
+            g["F"] = inv[np.asarray(f["F"])].astype(np.int32)
+        if "L" in f:
+            g["L"] = f["L"].tocsr()[perm][:, perm].tocsr()
+        g.pop("dirac", None)  # stale: coeffs bake in vertex/face order
+        out.append(g)
+    return out
+
+
 def rcm_reorder_sample(sample: dict) -> dict:
     """Reorder a sample's vertices by reverse-Cuthill-McKee on its Laplacian.
 
@@ -189,20 +223,7 @@ def rcm_reorder_sample(sample: dict) -> dict:
     reindexed, and any per-vertex arrays (input/target/V/label arrays sized
     [n, ...]) are permuted consistently.
     """
-    import scipy.sparse as _sp
-
-    from surfacenetworks_tpu.sparse import rcm_permutation
-
-    if "L" in sample:
-        perm = rcm_permutation(sample["L"])
-    else:
-        # Dirac-only samples: RCM over the face-edge adjacency graph
-        F = np.asarray(sample["F"])
-        n_ = sample["V"].shape[0]
-        r = np.concatenate([F[:, 0], F[:, 1], F[:, 2], F[:, 1], F[:, 2], F[:, 0]])
-        c = np.concatenate([F[:, 1], F[:, 2], F[:, 0], F[:, 0], F[:, 1], F[:, 2]])
-        A = _sp.coo_matrix((np.ones_like(r, np.float32), (r, c)), shape=(n_, n_)).tocsr()
-        perm = rcm_permutation(A)
+    perm = _rcm_perm_of(sample)
     inv = geo.invert_permutation(perm)
     n = sample["V"].shape[0]
     out = dict(sample)
@@ -425,10 +446,12 @@ def arap_batch(
     fmt: str = "auto",
     input_frames: int = 2,
     output_frames: int = 40,
+    operator=None,
 ) -> MeshBatch:
     """Temporal batch: ``picks`` = (sequence index, frame offset) per batch
     element; inputs = 2 frames, targets = next 40, operator from the last
-    input frame (as_rigid_as_possible/main.py:98-185)."""
+    input frame (as_rigid_as_possible/main.py:98-185).  ``operator``
+    short-circuits packing with a caller-built (e.g. partitioned) operator."""
     B = len(picks)
     N = buckets.n_vertices
     inputs = np.zeros((B, N, 3 * input_frames), dtype=np.float32)
@@ -447,7 +470,9 @@ def arap_batch(
         op_frame = seq[off + input_frames - 1]
         op_samples.append(op_frame)
         faces_list.append({"F": seq[0]["F"], "V": seq[0]["V"]})
-    if model == "dirac":
+    if operator is not None:
+        pass
+    elif model == "dirac":
         coeffs_list = [
             s["dirac"] if s.get("dirac") is not None else native.dirac_coeffs(s["V"], s["F"])
             for s in op_samples

@@ -98,6 +98,79 @@ def partition_batch_dirac(
     return dp.stack_partitioned_dirac(ops)
 
 
+def prepartition_ell(
+    Ls,
+    n_parts: int,
+    n_rows: int,
+    k: int = 16,
+    interior_fmt: str = "ell",
+    axis: str = "graph",
+):
+    """Partition each operator once with dataset-wide halo and width floors.
+
+    Returns ``(ops, floors)`` where ``floors = {'min_mb': ..., 'min_kb': ...}``
+    — pass them to :func:`edge_partition.stack_partitioned` so every batch
+    over the dataset stacks to identical shapes (one jit compilation).
+    """
+    from surfacenetworks_tpu.dist.edge_partition import partition_operator
+
+    halo = min(max(suggest_halo(L) for L in Ls), n_rows // n_parts)
+    ops = [
+        partition_operator(
+            L, n_parts, halo=halo, k=k, n_rows=n_rows, axis=axis, interior_fmt=interior_fmt
+        )
+        for L in Ls
+    ]
+    floors = {
+        "min_mb": max(
+            max(o.fwd.bnd_rows.shape[0], o.bwd.bnd_rows.shape[0]) // n_parts for o in ops
+        ),
+        "min_kb": (
+            max(max(o.fwd.bsr_cols.shape[-1], o.bwd.bsr_cols.shape[-1]) for o in ops)
+            if interior_fmt == "bsr"
+            else 0
+        ),
+    }
+    return ops, floors
+
+
+def prepartition_dirac(
+    coeffs_list,
+    n_parts: int,
+    n_vertices: int,
+    n_faces: int,
+    max_valence: int | None = None,
+    axis: str = "graph",
+):
+    """Partition each DiracCoeffs once with shared halos and width floors.
+
+    Returns ``(ops, floors)`` with ``floors = {'min_mbf': ..., 'min_mbv': ...}``
+    for :func:`dirac_partition.stack_partitioned_dirac`.
+    """
+    from surfacenetworks_tpu.dist import dirac_partition as dp
+
+    ops = [
+        dp.partition_dirac(c, n_parts, n_vertices, n_faces, max_valence=max_valence, axis=axis)
+        for c in coeffs_list
+    ]
+    halo_v = max(o.halo_v for o in ops)
+    halo_f = max(o.halo_f for o in ops)
+    ops = [
+        o
+        if (o.halo_v == halo_v and o.halo_f == halo_f)
+        else dp.partition_dirac(
+            c, n_parts, n_vertices, n_faces,
+            halo_v=halo_v, halo_f=halo_f, max_valence=max_valence, axis=axis,
+        )
+        for o, c in zip(ops, coeffs_list)
+    ]
+    floors = {
+        "min_mbf": max(o.fbnd_rows.shape[0] // n_parts for o in ops),
+        "min_mbv": max(o.vbnd_rows.shape[0] // n_parts for o in ops),
+    }
+    return ops, floors
+
+
 def make_graph_sharded_apply(
     mesh: Mesh,
     apply_fn: Callable,

@@ -466,3 +466,24 @@ def test_normal_cli_dp_x_gp_smoke(tmp_path):
             "--result-dir", str(tmp_path), "--debug",
         ]
     )
+
+
+def test_arap_cli_graph_parallel_dir_smoke(tmp_path):
+    """ARAP --graph-parallel 4 --model dir: per-frame partitioned Dirac
+    operators (RCM + face-sorted sequences), whole temporal model in one
+    shard_map."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 4:
+        import pytest as _pytest
+
+        _pytest.skip("needs 4 virtual devices")
+    from surfacenetworks_tpu.cli import train_arap
+
+    train_arap.main(
+        [
+            "--synthetic", "3", "--num-epoch", "1", "--num-updates", "2",
+            "--layer", "2", "--batch-size", "2", "--model", "dir",
+            "--graph-parallel", "4", "--result-dir", str(tmp_path),
+        ]
+    )
