@@ -159,3 +159,25 @@ def test_multi_bucket_cli_smoke(tmp_path):
             "--result-dir", str(tmp_path), "--debug",
         ]
     )
+
+
+def test_tiered_sampler_groups_and_rates():
+    """Batches never mix tiers; per-sample visit rates track group sizes."""
+    from surfacenetworks_tpu.cli.common import TieredSampler
+    from surfacenetworks_tpu.data import BucketSet
+    from surfacenetworks_tpu.data.datasets import synthetic_normal_dataset
+
+    samples = []
+    for i, n in enumerate([30, 32, 35, 40, 200, 210, 220, 230]):
+        samples.extend(synthetic_normal_dataset(1, n_points=n, seed=200 + i))
+    bs = BucketSet.for_samples(samples, n_tiers=2)
+    assert len(bs.tiers) == 2
+    sampler = TieredSampler(samples, bs, batch_size=2, seed=0)
+    counts = {0: 0, 1: 0}
+    for _ in range(200):
+        batch = sampler.next_batch()
+        tiers = {bs.tier_index([s]) for s in batch}
+        assert len(tiers) == 1, "batch mixes tiers"
+        counts[tiers.pop()] += 1
+    # both groups have 4 samples -> draw rates should be roughly equal
+    assert 60 < counts[0] < 140 and 60 < counts[1] < 140, counts
