@@ -35,6 +35,10 @@ parser.add_argument("--result-dir", default="results/mesh_mnist_vae")
 parser.add_argument("--data-parallel", type=int, default=0,
                     help="shard the mesh batch across this many devices on the "
                          "'data' mesh axis (params replicated; batch size divisible)")
+parser.add_argument("--graph-parallel", type=int, default=0,
+                    help="edge-partition the lifted AND flat operators' rows across "
+                         "this many devices on the 'graph' mesh axis (lap and dirac; "
+                         "encoder+decoder run in one shard_map)")
 parser.add_argument("--seed", type=int, default=17)
 config.add_config_flags(parser)
 
@@ -53,17 +57,70 @@ def main(argv=None):
         data = datasets.load_mnist_mesh_pickle(args.data_path)
     else:
         raise SystemExit("provide --synthetic N or --data-path train_plus.np")
+    model_key = "dirac" if args.model.startswith("dir") else "lap"
+    n_gp = args.graph_parallel if args.graph_parallel > 1 else 0
+    if n_gp:
+        if args.data_parallel > 1:
+            raise SystemExit("--graph-parallel and --data-parallel are mutually exclusive here")
+        from surfacenetworks_tpu.data import rcm_reorder_sample
+
+        data = [rcm_reorder_sample(s) for s in data]
+        if model_key == "dirac":
+            from surfacenetworks_tpu.dist import dirac_partition
+
+            for s in data:
+                fperm = dirac_partition.sort_faces_for_partition(s["F"])
+                s["F"] = np.asarray(s["F"])[fperm]
+                s["dirac"] = s["flat_dirac"] = None  # recomputed from sorted faces
     sep = max(1, int(len(data) * 0.8))
     train_data, test_data = data[:sep], data[sep:]
-    buckets = Buckets.for_samples(data)
+    buckets = Buckets.for_samples(data, multiple=8 * n_gp if n_gp else 8)
 
-    model_key = "dirac" if args.model.startswith("dir") else "lap"
     model = (DirVAE if model_key == "dirac" else LapVAE)(num_layers=args.num_layers)
 
-    def make_batch(samples):
+    batch_ops = None
+    if n_gp:
+        from surfacenetworks_tpu.data.batching import _dirac_coeffs_of
+        from surfacenetworks_tpu.dist import (
+            dirac_partition, edge_partition, graph_parallel, make_mesh,
+        )
+
+        gmesh = make_mesh(n_data=1, n_graph=n_gp)
+        N = buckets.n_vertices
+        if model_key == "dirac":
+            l_ops, l_floors = graph_parallel.prepartition_dirac(
+                [_dirac_coeffs_of(s) for s in data], n_gp, N, buckets.n_faces,
+                max_valence=buckets.max_valence,
+            )
+            f_ops, f_floors = graph_parallel.prepartition_dirac(
+                [_dirac_coeffs_of(s, "flat_dirac") for s in data], n_gp, N,
+                buckets.n_faces, max_valence=buckets.max_valence,
+            )
+            _stack = dirac_partition.stack_partitioned_dirac
+        else:
+            l_ops, l_floors = graph_parallel.prepartition_ell(
+                [s["L"] for s in data], n_gp, n_rows=N, k=buckets.ell_k
+            )
+            f_ops, f_floors = graph_parallel.prepartition_ell(
+                [s["flat_L"] for s in data], n_gp, n_rows=N, k=buckets.ell_k
+            )
+            _stack = edge_partition.stack_partitioned
+        _lc = {id(s): o for s, o in zip(data, l_ops)}
+        _fc = {id(s): o for s, o in zip(data, f_ops)}
+
+        def batch_ops(samples):
+            return (
+                _stack([_lc[id(s)] for s in samples], **l_floors),
+                _stack([_fc[id(s)] for s in samples], **f_floors),
+            )
+
+    def make_batch(samples, plain=False):
+        if batch_ops and not plain:
+            op, fop = batch_ops(samples)
+            return vae_batch(samples, buckets, model=model_key, operator=op, flat_operator=fop)
         return vae_batch(samples, buckets, model=model_key)
 
-    b0 = make_batch(train_data[: args.batch_size])
+    b0 = make_batch(train_data[: args.batch_size], plain=bool(n_gp))
 
     def unpack(b):
         return (
@@ -81,12 +138,37 @@ def main(argv=None):
     log("Num parameters {}".format(count_params(params)))
     state = TrainState.create(params, optim.adam(args.lr, weight_decay=1e-5))
 
+    if n_gp:
+        # encoder + decoder inside one shard_map: vertex rows of x/fx/mask
+        # and both partitioned operators shard over 'graph'; the pooled
+        # latent stats psum to replicated values (parallel_context)
+        from jax.sharding import PartitionSpec as P
+
+        from surfacenetworks_tpu import parallel_context
+
+        _row = P(None, "graph")
+
+        def _local_apply(params, rng, x, fx, op, fop, mask):
+            with parallel_context.sharded_axes(vertex_axis="graph"):
+                return model.apply(
+                    {"params": params}, x, fx, op, fop, mask, rngs={"sample": rng}
+                )
+
+        def apply_fn(params, rng, x, fx, op, fop, mask):
+            return jax.shard_map(
+                _local_apply,
+                mesh=gmesh,
+                in_specs=(P(), P(), _row, _row, _row, _row, _row),
+                out_specs=(_row, _row, P(), P(), P()),
+            )(params, rng, x, fx, op, fop, mask)
+    else:
+        def apply_fn(params, rng, x, fx, op, fop, mask):
+            return model.apply({"params": params}, x, fx, op, fop, mask, rngs={"sample": rng})
+
     @jax.jit
     def train_step(state, rng, x, fx, op, fop, mask, kld_weight):
         def objective(params):
-            recon_mu, recon_logvar, z, mu, logvar = model.apply(
-                {"params": params}, x, fx, op, fop, mask, rngs={"sample": rng}
-            )
+            recon_mu, recon_logvar, z, mu, logvar = apply_fn(params, rng, x, fx, op, fop, mask)
             bce, kld = losses.vae_elbo_terms(recon_mu, recon_logvar, mask, x, z, mu, logvar)
             return bce + kld * kld_weight, (bce, kld, recon_mu)
 
@@ -167,7 +249,8 @@ def main(argv=None):
         log(f"Test epoch {epoch}, loss {tl/test_steps}, bce {tb/test_steps}, kld {tk/test_steps}")
 
         if args.dump_ply:
-            b = make_batch(test_sampler.next_batch())
+            # generative decode uses plain operators (single-device path)
+            b = make_batch(test_sampler.next_batch(), plain=True)
             x, fx, op, fop, mask = unpack(b)
             noise = jnp.repeat(fixed_noise[: x.shape[0]], x.shape[1], axis=1)
             fake, _ = decode(state.params, fx, noise, fop, mask)

@@ -230,8 +230,11 @@ def rcm_reorder_sample(sample: dict) -> dict:
     for key, val in sample.items():
         if key == "F":
             out[key] = inv[val].astype(np.int32)
-        elif key == "L":
+        elif sp.issparse(val) and val.shape == (n, n):
+            # L, flat_L, and any other per-vertex square operator
             out[key] = val.tocsr()[perm][:, perm].tocsr()
+        elif key in ("dirac", "flat_dirac"):
+            out[key] = None  # coeffs bake in vertex order; caller recomputes
         elif key == "G":
             out[key] = val[perm][:, perm]
         elif key == "label_inv":
@@ -396,16 +399,30 @@ def mnist_batch(
     )
 
 
+def _dirac_coeffs_of(s: dict, key: str = "dirac"):
+    c = s.get(key)
+    if c is not None:
+        return c
+    V = np.asarray(s["V"], np.float32)
+    if key == "flat_dirac":
+        V = V.copy()
+        V[:, 2] = 0.0
+    return native.dirac_coeffs(V, s["F"])
+
+
 def vae_batch(
     samples: list[dict],
     buckets: Buckets,
     model: str = "lap",
     fmt: str = "auto",
+    operator=None,
+    flat_operator=None,
 ) -> MeshBatch:
     """VAE batch: lifted + flat inputs and operators (mesh_mnist/main_vae.py:72-125).
 
     ``inputs`` is the lifted V; ``aux`` carries ``flat_inputs`` (x, y, 0) and
-    ``flat_operator``.
+    ``flat_operator``.  ``operator``/``flat_operator`` short-circuit packing
+    with caller-built (e.g. partitioned) operators.
     """
     B = len(samples)
     N = buckets.n_vertices
@@ -415,16 +432,18 @@ def vae_batch(
     mask = np.zeros((B, N, 1), dtype=np.float32)
     for b, s in enumerate(samples):
         mask[b, : s["V"].shape[0]] = 1.0
-    if model == "dirac":
+    if operator is not None and flat_operator is not None:
+        pass
+    elif model == "dirac":
         operator = stack_dirac(
             [
-                dirac_from_coeffs(s["dirac"], N, buckets.n_faces, buckets.max_valence, **buckets.dirac_kwargs())
+                dirac_from_coeffs(_dirac_coeffs_of(s), N, buckets.n_faces, buckets.max_valence, **buckets.dirac_kwargs())
                 for s in samples
             ]
         )
         flat_operator = stack_dirac(
             [
-                dirac_from_coeffs(s["flat_dirac"], N, buckets.n_faces, buckets.max_valence, **buckets.dirac_kwargs())
+                dirac_from_coeffs(_dirac_coeffs_of(s, "flat_dirac"), N, buckets.n_faces, buckets.max_valence, **buckets.dirac_kwargs())
                 for s in samples
             ]
         )

@@ -487,3 +487,23 @@ def test_arap_cli_graph_parallel_dir_smoke(tmp_path):
             "--graph-parallel", "4", "--result-dir", str(tmp_path),
         ]
     )
+
+
+def test_vae_cli_graph_parallel_smoke(tmp_path):
+    """VAE --graph-parallel 2: lifted AND flat operators partitioned;
+    encoder+decoder (pooled latent psum) in one shard_map."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 2:
+        import pytest as _pytest
+
+        _pytest.skip("needs 2 virtual devices")
+    from surfacenetworks_tpu.cli import train_vae
+
+    train_vae.main(
+        [
+            "--synthetic", "4", "--num-epoch", "1", "--num-layers", "2",
+            "--batch-size", "2", "--graph-parallel", "2",
+            "--result-dir", str(tmp_path),
+        ]
+    )
