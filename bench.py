@@ -161,7 +161,7 @@ def _train_step_time(n_meshes=4, n_points=1000, layers=15, iters=8):
     return diff / 8
 
 
-def _siamese_step_time(n_points=7000, layers=15, channels=128, iters=4):
+def _siamese_step_time(n_points=7000, layers=15, channels=128, iters=6):
     """Per-step wall time of the FAUST flagship: two 15-layer Lap trunks
     (BSR/MXU operators, RCM order) + the N x N correspondence einsum + dcel
     loss + backward — the workload BASELINE marks for partitioning

@@ -28,6 +28,8 @@ parser.add_argument("--synthetic", type=int, default=0)
 parser.add_argument("--synthetic-classes", type=int, default=10,
                     help="label count for --synthetic (3 = distinguishable blob "
                          "counts, the convergence-evidence task)")
+parser.add_argument("--synthetic-points", type=int, default=120,
+                    help="points per synthetic mesh (more points = better-resolved blobs)")
 parser.add_argument("--data-path", default=None, help="train_plus.np-style pickle")
 parser.add_argument("--lr", type=float, default=1e-3)
 parser.add_argument("--result-prefix", default="mnist")
@@ -50,7 +52,8 @@ MODELS = {
 def load_data(args):
     if args.synthetic:
         data = datasets.synthetic_mnist_dataset(
-            args.synthetic, seed=args.seed, n_classes=args.synthetic_classes
+            args.synthetic, seed=args.seed, n_classes=args.synthetic_classes,
+            n_points=args.synthetic_points,
         )
     else:
         data = datasets.load_mnist_mesh_pickle(args.data_path)

@@ -63,10 +63,20 @@ def height_field_mesh(
     pts = rng.uniform(0, 1, size=(n_points, 2))
     tri = Delaunay(pts)
     z = np.zeros(n_points)
+    # well-separated, resolvable peaks so the blob COUNT is geometrically
+    # well-defined: sigma >= 0.08 (a peak covers >= ~15 of 200 sample
+    # points) and centers at least 0.28 apart (no peak merging)
+    centers: list = []
     for _ in range(n_blobs):
-        cx, cy = rng.uniform(0.2, 0.8, size=2)
-        s = rng.uniform(0.05, 0.15)
-        z += rng.uniform(0.3, 1.0) * np.exp(-((pts[:, 0] - cx) ** 2 + (pts[:, 1] - cy) ** 2) / (2 * s**2))
+        for _try in range(50):
+            c = rng.uniform(0.15, 0.85, size=2)
+            if all(np.linalg.norm(c - o) > 0.28 for o in centers):
+                break
+        centers.append(c)
+        s = rng.uniform(0.08, 0.13)
+        z += rng.uniform(0.5, 1.0) * np.exp(
+            -((pts[:, 0] - c[0]) ** 2 + (pts[:, 1] - c[1]) ** 2) / (2 * s**2)
+        )
     V = np.concatenate([pts, z[:, None] / max(z.max(), 1e-6)], axis=1)
     return V, np.asarray(tri.simplices, dtype=np.int32), n_blobs
 
