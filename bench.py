@@ -290,6 +290,18 @@ def main():
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x))
 
+    # bf16 operator storage: the BSR apply is HBM-bound on the block stream
+    # (NB*KB*128*128 values), and the MXU's default precision rounds matmul
+    # inputs to bf16 anyway — storing the constant operator in bf16 halves
+    # the bytes at zero additional rounding.
+    def to_bf16(m):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if getattr(a, "dtype", None) == np.float32
+            else a,
+            m,
+        )
+
     # full LapResNet2 inner step as composed by XLA (elu + spmm + concat +
     # train-mode BN + conv weights): within ~5 us of the bare SpMM — the
     # measured reason no fused Pallas block kernel ships (see
@@ -471,6 +483,8 @@ def main():
     t_ellp = _per_apply(ellp_iter, (op, xj))
     t_ellp_fast = _per_apply(ellp_fast_iter, (op, xj))
     t_bsr = _per_apply(bsr_iter, (bop, xj))
+    bop16 = jax.device_put(to_bf16(jax.device_get(bop)))
+    t_bsr16 = _per_apply(bsr_iter, (bop16, xj))
     t_dense = _per_apply(dense_iter, (jnp.asarray(dense_pad), xj))
     vxj = jnp.asarray(vx)
     t_dirac = _per_apply(dirac_iter, (dop, vxj))
@@ -504,7 +518,12 @@ def main():
     t_faust = _siamese_step_time()
 
     best_name, best_t = min(
-        [("ell_gather", t_ell), ("ell_pallas", t_ellp), ("bsr_mxu", t_bsr)],
+        [
+            ("ell_gather", t_ell),
+            ("ell_pallas", t_ellp),
+            ("bsr_mxu", t_bsr),
+            ("bsr_mxu_bf16", t_bsr16),
+        ],
         key=lambda kv: kv[1],
     )
     edges_per_s = nnz / best_t
@@ -525,6 +544,7 @@ def main():
                     "ell_pallas_us_per_apply": round(t_ellp * 1e6, 3),
                     "ell_pallas_default_prec_us_per_apply": round(t_ellp_fast * 1e6, 3),
                     "bsr_us_per_apply": round(t_bsr * 1e6, 3),
+                    "bsr_bf16_us_per_apply": round(t_bsr16 * 1e6, 3),
                     "dense_us_per_apply": round(t_dense * 1e6, 3),
                     "dirac_roundtrip_us_per_apply": round(t_dirac * 1e6, 3),
                     "dirac_edges_per_s": round(dirac_nnz / t_dirac, 1),
