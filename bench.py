@@ -108,10 +108,11 @@ def _build_dirac_workload(n_points=7000, channels=128):
     return dop, nnz_scalar, v
 
 
-def _train_step_time(n_meshes=4, n_points=1000, layers=15, iters=8):
+def _train_step_time(n_meshes=4, n_points=1000, layers=15, iters=8, bf16=False):
     """Per-step wall time of the flagship jit'd training step (LapDeepModel,
     15 layers / 128-d — the normal-predict default, run_normal.py:9-29).
-    The BASELINE epoch-time north star is num_updates x this."""
+    The BASELINE epoch-time north star is num_updates x this.
+    ``bf16``: the --bf16 mixed-precision path (bf16 activations/matmuls)."""
     import jax
     import jax.numpy as jnp
 
@@ -122,7 +123,7 @@ def _train_step_time(n_meshes=4, n_points=1000, layers=15, iters=8):
     samples = datasets.synthetic_normal_dataset(n_meshes, n_points, seed=0, operator="lap")
     buckets = Buckets.for_samples(samples)
     batch = laplacian_batch(samples, buckets, fmt="auto")
-    model = zoo.LapDeepModel(3, 3, layers=layers)
+    model = zoo.LapDeepModel(3, 3, layers=layers, dtype=jnp.bfloat16 if bf16 else None)
     operator = batch.operator
     mask, inputs, targets = (jnp.asarray(a) for a in (batch.mask, batch.inputs, batch.targets))
     params = model.init(jax.random.key(0), operator, mask, inputs)["params"]
@@ -161,7 +162,7 @@ def _train_step_time(n_meshes=4, n_points=1000, layers=15, iters=8):
     return diff / 8
 
 
-def _siamese_step_time(n_points=7000, layers=15, channels=128, iters=6):
+def _siamese_step_time(n_points=7000, layers=15, channels=128, iters=6, bf16=False):
     """Per-step wall time of the FAUST flagship: two 15-layer Lap trunks
     (BSR/MXU operators, RCM order) + the N x N correspondence einsum + dcel
     loss + backward — the workload BASELINE marks for partitioning
@@ -192,7 +193,8 @@ def _siamese_step_time(n_points=7000, layers=15, channels=128, iters=6):
     inputs[0, : V.shape[0]] = V[perm]
     GAB = rng.normal(size=(n_bucket, n_bucket)).astype(np.float32) ** 2
 
-    model = zoo.SiameseModel(model="lap", layers=layers)
+    model = zoo.SiameseModel(model="lap", layers=layers,
+                             dtype=jnp.bfloat16 if bf16 else None)
     mask_j, in_j, GAB_j = (jnp.asarray(a) for a in (mask, inputs, GAB))
     bop = jax.device_put(bop)
     opx = (bop, mask_j)
@@ -516,6 +518,8 @@ def main():
     t_dense_head = _per_apply(dense_head_iter, (xj, xj))
     t_step = _train_step_time()
     t_faust = _siamese_step_time()
+    t_step16 = _train_step_time(bf16=True)
+    t_faust16 = _siamese_step_time(bf16=True)
 
     best_name, best_t = min(
         [
@@ -557,6 +561,8 @@ def main():
                     "dense_corr_head_us": round(t_dense_head * 1e6, 3),
                     "train_step_ms_b4_n1000_l15": round(t_step * 1e3, 3),
                     "train_step_ms_faust": round(t_faust * 1e3, 3),
+                    "train_step_ms_b4_n1000_l15_bf16": round(t_step16 * 1e3, 3),
+                    "train_step_ms_faust_bf16": round(t_faust16 * 1e3, 3),
                     "device": str(device),
                 },
             }

@@ -25,6 +25,9 @@ parser.add_argument("--batch-size", type=int, default=32)
 parser.add_argument("--num-epoch", type=int, default=110)
 parser.add_argument("--num-updates", type=int, default=1000)
 parser.add_argument("--model", default="lap", help="lap | dir | avg | mlp | gcn")
+parser.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training: bf16 activations/matmuls, "
+                         "fp32 params, optimizer state and BN statistics")
 parser.add_argument("--layer", type=int, default=15)
 parser.add_argument("--dense", action="store_true")
 parser.add_argument("--first100", action="store_true")
@@ -101,7 +104,7 @@ def main(argv=None):
     )
     rng_np = np.random.default_rng(args.seed)
 
-    model = MODELS[args.model](layers=args.layer)
+    model = MODELS[args.model](layers=args.layer, dtype=jnp.bfloat16 if args.bf16 else None)
 
     batch_operator = None
     if n_gp:

@@ -49,6 +49,9 @@ parser.add_argument("--full-train", action="store_true")
 parser.add_argument("--deser-option", default="auto", choices=["auto", "no", "force"])
 parser.add_argument("--deser-path", default=None)
 parser.add_argument("--num-vertices", type=int, default=7000)
+parser.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training: bf16 activations/matmuls, "
+                         "fp32 params, optimizer state and BN statistics")
 parser.add_argument("--operator-format", default="ell", choices=["ell", "bsr"],
                     help="bsr = RCM-reordered MXU block-sparse operators (lap trunks)")
 parser.add_argument("--remat", action="store_true",
@@ -147,7 +150,8 @@ def main(argv=None):
             for Lk in s_["L_pyr"]
         )
         buckets.ell_k = buckets.ell_k_t = max(buckets.ell_k, kmax)
-    model = SiameseModel(model=args.model, layers=args.layer, remat=args.remat)
+    model = SiameseModel(model=args.model, layers=args.layer, remat=args.remat,
+                         dtype=jnp.bfloat16 if args.bf16 else None)
 
     # Operators depend only on the mesh, not on the rotation augmentation —
     # pack each sample's operator once and reuse it every step (host-side
@@ -197,6 +201,7 @@ def main(argv=None):
         batch = correspondence_batch(
             s, buckets, model=model_key, fmt="bsr" if use_bsr else "ell",
             operator=op,
+            op_dtype=jnp.bfloat16 if (args.bf16 and use_bsr) else None,
         )
         _op_cache.setdefault(id(sample), batch.operator)
         return batch

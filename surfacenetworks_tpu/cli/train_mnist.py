@@ -23,6 +23,9 @@ parser = argparse.ArgumentParser(description="Mesh-MNIST classifier (TPU)")
 parser.add_argument("--batch-size", type=int, default=64)
 parser.add_argument("--num-epoch", type=int, default=1000)
 parser.add_argument("--model", default="lap", help="lap | avg | mlp | dirac")
+parser.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training: bf16 activations/matmuls, "
+                         "fp32 params, optimizer state and BN statistics")
 parser.add_argument("--layer", type=int, default=5)
 parser.add_argument("--synthetic", type=int, default=0)
 parser.add_argument("--synthetic-classes", type=int, default=10,
@@ -70,7 +73,7 @@ def main(argv=None):
     train_data, test_data = load_data(args)
     buckets = Buckets.for_samples(train_data + test_data)
     model_key = "dirac" if args.model.startswith("dir") else args.model
-    model = MODELS[model_key](layers=args.layer)
+    model = MODELS[model_key](layers=args.layer, dtype=jnp.bfloat16 if args.bf16 else None)
 
     def make_batch(samples):
         return mnist_batch(samples, buckets, model=model_key)

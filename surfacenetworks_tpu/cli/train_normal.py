@@ -51,6 +51,9 @@ parser.add_argument("--uniform-mesh", action="store_true")
 parser.add_argument("--additional-opt", default=[], action="append",
                     choices=["hack1", "hack0", "amsgrad", "intrinsic", ""])
 parser.add_argument("--operator-format", default="auto", choices=["auto", "ell", "bsr", "dense"])
+parser.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training: bf16 activations/matmuls, "
+                         "fp32 params, optimizer state and BN statistics")
 parser.add_argument("--data-parallel", type=int, default=0,
                     help="shard the mesh batch across this many devices on the 'data' "
                          "mesh axis (params replicated, GSPMD gradient all-reduce); "
@@ -78,19 +81,20 @@ config.add_config_flags(parser)
 
 
 def build_model(args):
+    dt = jnp.bfloat16 if getattr(args, "bf16", False) else None
     if args.model == "cas":
         from surfacenetworks_tpu.models.cascade import EfficientCascade
 
-        return EfficientCascade(3, 3, cascade_levels=args.cascade_levels)
+        return EfficientCascade(3, 3, cascade_levels=args.cascade_levels, dtype=dt)
     if "avg" in args.model:
-        return zoo.AvgModel(3, 3, args.layer)
+        return zoo.AvgModel(3, 3, args.layer, dtype=dt)
     if args.model == "mlp":
-        return zoo.MlpModel(3, 3, args.layer)
+        return zoo.MlpModel(3, 3, args.layer, dtype=dt)
     if args.model == "id":
-        return zoo.IdDeepModel(3, 3, args.layer)
+        return zoo.IdDeepModel(3, 3, args.layer, dtype=dt)
     if args.model.startswith("dirac"):
-        return zoo.DirDeepModel(3, 3, args.layer)
-    return zoo.LapDeepModel(3, 3, layers=args.layer)
+        return zoo.DirDeepModel(3, 3, args.layer, dtype=dt)
+    return zoo.LapDeepModel(3, 3, layers=args.layer, dtype=dt)
 
 
 def load_samples(args, log):
@@ -245,7 +249,12 @@ def main(argv=None):
             b = bucketset.select(samples) if len(bucketset.tiers) > 1 else buckets
             if is_dirac:
                 return dirac_batch(samples, b, operator=op)
-            return laplacian_batch(samples, b, fmt=args.operator_format, operator=op)
+            return laplacian_batch(
+                samples, b, fmt=args.operator_format, operator=op,
+                op_dtype=jnp.bfloat16
+                if (args.bf16 and args.operator_format == "bsr")
+                else None,
+            )
 
     model = build_model(args)
     init_samples = train_samples[: args.batch_size] or all_samples[: args.batch_size]

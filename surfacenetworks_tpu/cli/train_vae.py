@@ -25,6 +25,9 @@ parser = argparse.ArgumentParser(description="Mesh VAE (TPU)")
 parser.add_argument("--batch-size", type=int, default=64)
 parser.add_argument("--num-epoch", type=int, default=1000)
 parser.add_argument("--model", default="lap", help="lap | dirac")
+parser.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training: bf16 activations/matmuls, "
+                         "fp32 params, optimizer state and BN statistics")
 parser.add_argument("--num-layers", type=int, default=5)
 parser.add_argument("--synthetic", type=int, default=0)
 parser.add_argument("--data-path", default=None)
@@ -76,7 +79,8 @@ def main(argv=None):
     train_data, test_data = data[:sep], data[sep:]
     buckets = Buckets.for_samples(data, multiple=8 * n_gp if n_gp else 8)
 
-    model = (DirVAE if model_key == "dirac" else LapVAE)(num_layers=args.num_layers)
+    model = (DirVAE if model_key == "dirac" else LapVAE)(
+        num_layers=args.num_layers, dtype=jnp.bfloat16 if args.bf16 else None)
 
     batch_ops = None
     if n_gp:

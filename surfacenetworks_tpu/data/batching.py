@@ -270,6 +270,7 @@ def laplacian_batch(
     target_key: str = "target",
     fmt: str = "ell",
     operator=None,
+    op_dtype=None,
 ) -> MeshBatch:
     """Assemble a Laplacian-operator batch from per-mesh sample dicts.
 
@@ -278,7 +279,10 @@ def laplacian_batch(
     (normal_predict/sampler.py:93-181) with bucketed padding + operator
     stacking.  ``fmt='auto'`` selects per :func:`choose_operator_format`.
     ``operator`` short-circuits packing with a caller-built operator (e.g. a
-    graph-parallel PartitionedOperator).
+    graph-parallel PartitionedOperator).  ``op_dtype`` (BSR only) stores the
+    packed blocks at a narrower dtype — ``jnp.bfloat16`` halves the apply's
+    dominant HBM stream at numerics identical to the MXU's default
+    fp32-input rounding.
     """
     B = len(samples)
     N = buckets.n_vertices
@@ -304,6 +308,7 @@ def laplacian_batch(
                     k=buckets.bsr_k,
                     n_rows=N,
                     n_cols=N,
+                    **({"dtype": op_dtype} if op_dtype is not None else {}),
                 )
                 for s in samples
             ]
@@ -512,7 +517,7 @@ def arap_batch(
 
 def correspondence_batch(
     sample: dict, buckets: Buckets, model: str = "lap", fmt: str = "ell",
-    operator=None,
+    operator=None, op_dtype=None,
 ) -> MeshBatch:
     """Single-shape batch (B=1) for the siamese trainer
     (dense_correspondence/main.py:106-191); targets = (G, label, label_inv).
@@ -544,6 +549,7 @@ def correspondence_batch(
                 bsr_operator_from_scipy(
                     sample["L"], block_size=buckets.bsr_block, k=buckets.bsr_k,
                     n_rows=N, n_cols=N,
+                    **({"dtype": op_dtype} if op_dtype is not None else {}),
                 )
             ]
         )

@@ -329,14 +329,15 @@ def partitioned_dirac_vf(op: PartitionedDirac, v_loc: jnp.ndarray) -> jnp.ndarra
 
 
 def _pvf_fwd(op, v_loc):
-    return partitioned_dirac_vf(op, v_loc), op
+    return partitioned_dirac_vf(op, v_loc), (op, jnp.zeros((0,), v_loc.dtype))
 
 
-def _pvf_bwd(op, g):
+def _pvf_bwd(res, g):
+    op, wit = res
     v_bar = _split_apply(
         op.vf_face, op.q_bwd_v, op.vbnd_rows, op.vbnd_face, op.vbnd_q_bwd_v,
         g, op.halo_f, op.axis,
-    )
+    ).astype(wit.dtype)
     return (jax.tree_util.tree_map(jnp.zeros_like, op), v_bar)
 
 
@@ -357,14 +358,15 @@ def partitioned_dirac_fv(op: PartitionedDirac, f_loc: jnp.ndarray) -> jnp.ndarra
 
 
 def _pfv_fwd(op, f_loc):
-    return partitioned_dirac_fv(op, f_loc), op
+    return partitioned_dirac_fv(op, f_loc), (op, jnp.zeros((0,), f_loc.dtype))
 
 
-def _pfv_bwd(op, g):
+def _pfv_bwd(res, g):
+    op, wit = res
     f_bar = _split_apply(
         op.faces, op.q_bwd_f, op.fbnd_rows, op.fbnd_verts, op.fbnd_q_bwd_f,
         g, op.halo_v, op.axis,
-    )
+    ).astype(wit.dtype)
     return (jax.tree_util.tree_map(jnp.zeros_like, op), f_bar)
 
 

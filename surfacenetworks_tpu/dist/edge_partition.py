@@ -385,11 +385,15 @@ def partitioned_spmm(op: PartitionedOperator, x_loc: jnp.ndarray) -> jnp.ndarray
 
 
 def _pspmm_fwd(op, x_loc):
-    return partitioned_spmm(op, x_loc), op
+    # dtype witness: under mixed precision x_loc may be bf16 while the
+    # fp32-stored operator makes the forward fp32; the cotangent is cast
+    # back to the primal dtype (mirrors sparse/ops.py spmm).
+    return partitioned_spmm(op, x_loc), (op, jnp.zeros((0,), x_loc.dtype))
 
 
-def _pspmm_bwd(op, g):
-    x_bar = _apply_local(op.bwd, g)
+def _pspmm_bwd(res, g):
+    op, wit = res
+    x_bar = _apply_local(op.bwd, g).astype(wit.dtype)
     return (jax.tree_util.tree_map(jnp.zeros_like, op), x_bar)
 
 

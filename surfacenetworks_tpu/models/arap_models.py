@@ -11,6 +11,8 @@ normalized-adjacency residual GCN over the same block scheme.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -20,6 +22,7 @@ from surfacenetworks_tpu.nn.blocks import (
     DirResNet2,
     LapResNet2,
     MlpResNet2,
+    _cat_op,
     apply_operator,
 )
 from surfacenetworks_tpu.nn.layers import GraphBatchNorm, GraphConv1x1
@@ -37,17 +40,18 @@ class Model(nn.Module):
     """Lap model (models.py:21-52); ``op`` may be sparse or dense."""
 
     layers: int = 15
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
-        x = GraphConv1x1(3 * IN_FRAMES, WIDTH, None, name="conv1")(inputs)
+        x = GraphConv1x1(3 * IN_FRAMES, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         for i in range(self.layers):
             if i % 2 == 0:
-                x = LapResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+                x = LapResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
             else:
-                x = AvgResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+                x = AvgResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
         x = nn.elu(x)
-        x = GraphConv1x1(WIDTH, 3 * OUT_FRAMES, "pre", name="conv2")(x)
+        x = GraphConv1x1(WIDTH, 3 * OUT_FRAMES, "pre", dtype=self.dtype, name="conv2")(x)
         return _residual_head(x, inputs)
 
 
@@ -55,14 +59,15 @@ class AvgModel(nn.Module):
     """models.py:54-77."""
 
     layers: int = 15
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
-        x = GraphConv1x1(3 * IN_FRAMES, WIDTH, None, name="conv1")(inputs)
+        x = GraphConv1x1(3 * IN_FRAMES, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         for i in range(self.layers):
-            x = AvgResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+            x = AvgResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
         x = nn.elu(x)
-        x = GraphConv1x1(WIDTH, 3 * OUT_FRAMES, "pre", name="conv2")(x)
+        x = GraphConv1x1(WIDTH, 3 * OUT_FRAMES, "pre", dtype=self.dtype, name="conv2")(x)
         return _residual_head(x, inputs)
 
 
@@ -70,15 +75,16 @@ class MlpModel(nn.Module):
     """models.py:80-105."""
 
     layers: int = 15
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
-        x = GraphConv1x1(3 * IN_FRAMES, WIDTH, None, name="conv1")(inputs)
+        x = GraphConv1x1(3 * IN_FRAMES, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         for i in range(self.layers):
-            x = MlpResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+            x = MlpResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
         x = GraphBatchNorm(WIDTH, name="bn")(x)
         x = nn.elu(x)
-        x = GraphConv1x1(WIDTH, 3 * OUT_FRAMES, None, name="conv2")(x)
+        x = GraphConv1x1(WIDTH, 3 * OUT_FRAMES, None, dtype=self.dtype, name="conv2")(x)
         return _residual_head(x, inputs)
 
 
@@ -86,20 +92,21 @@ class DirModel(nn.Module):
     """models.py:108-152."""
 
     layers: int = 15
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
         batch = inputs.shape[0]
         m = dirac_num_faces(op)
-        v = GraphConv1x1(3 * IN_FRAMES, WIDTH, None, name="conv1")(inputs)
+        v = GraphConv1x1(3 * IN_FRAMES, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         f = jnp.zeros((batch, m, WIDTH), dtype=v.dtype)
         for i in range(self.layers):
             if i % 2 == 0:
-                v, f = DirResNet2(WIDTH, name=f"rn{i}")(op, v, f)
+                v, f = DirResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, v, f)
             else:
-                v = AvgResNet2(WIDTH, name=f"rn{i}")(None, mask, v)
+                v = AvgResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(None, mask, v)
         x = nn.elu(v)
-        x = GraphConv1x1(WIDTH, 3 * OUT_FRAMES, "pre", name="conv2")(x)
+        x = GraphConv1x1(WIDTH, 3 * OUT_FRAMES, "pre", dtype=self.dtype, name="conv2")(x)
         return _residual_head(x, inputs)
 
 
@@ -108,15 +115,16 @@ class GCNResNet2(nn.Module):
     the missing-``gcn.py`` equivalent, consistent with the other blocks."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
         x = nn.elu(inputs)
-        x = jnp.concatenate([x, apply_operator(op, x)], axis=-1)
-        x = GraphConv1x1(2 * self.features, self.features, "pre", name="bn_fc0")(x)
+        x = _cat_op(x, apply_operator(op, x))
+        x = GraphConv1x1(2 * self.features, self.features, "pre", dtype=self.dtype, name="bn_fc0")(x)
         x = nn.elu(x)
-        x = jnp.concatenate([x, apply_operator(op, x)], axis=-1)
-        x = GraphConv1x1(2 * self.features, self.features, "pre", name="bn_fc1")(x)
+        x = _cat_op(x, apply_operator(op, x))
+        x = GraphConv1x1(2 * self.features, self.features, "pre", dtype=self.dtype, name="bn_fc1")(x)
         return x + inputs
 
 
@@ -125,15 +133,16 @@ class GCNModel(nn.Module):
     ``geometry.normalized_adjacency`` as the batch operator)."""
 
     layers: int = 15
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
-        x = GraphConv1x1(3 * IN_FRAMES, WIDTH, None, name="conv1")(inputs)
+        x = GraphConv1x1(3 * IN_FRAMES, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         for i in range(self.layers):
             if i % 2 == 0:
-                x = GCNResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+                x = GCNResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
             else:
-                x = AvgResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+                x = AvgResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
         x = nn.elu(x)
-        x = GraphConv1x1(WIDTH, 3 * OUT_FRAMES, "pre", name="conv2")(x)
+        x = GraphConv1x1(WIDTH, 3 * OUT_FRAMES, "pre", dtype=self.dtype, name="conv2")(x)
         return _residual_head(x, inputs)

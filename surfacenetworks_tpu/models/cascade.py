@@ -9,6 +9,8 @@ skip-add + LapResNet, with the repeating-expand input residual head.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -40,11 +42,12 @@ class LaplacianPooling(nn.Module):
 
     num_inputs: int
     down: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, x):
         num_outputs = self.num_inputs // 2 if self.down else self.num_inputs * 2
-        y = WideLapResNet2(self.num_inputs, num_outputs, "", inner_layers=1, name="lap")(
+        y = WideLapResNet2(self.num_inputs, num_outputs, "", inner_layers=1, dtype=self.dtype, name="lap")(
             op, None, x
         )
         return y.reshape(x.shape[0], -1, self.num_inputs)
@@ -61,12 +64,13 @@ class EfficientCascade(nn.Module):
     with_avg: bool = False
     naive_pool: bool = True
     bottleneck: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, laps, mask, inputs):
         k = self.cascade_levels
         widths = [16, 32, 64, 128] if self.bottleneck else [WIDTH] * k
-        x = GraphConv1x1(self.in_features, WIDTH, None, name="conv1")(inputs)
+        x = GraphConv1x1(self.in_features, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
 
         down_series, mask_series = [], []
         ma = mask
@@ -74,17 +78,17 @@ class EfficientCascade(nn.Module):
             down_series.append(x)
             mask_series.append(ma)
             x = WideLapResNet2(
-                widths[i], widths[i - 1], self.bnmode, self.inner_layers, name=f"down_rn{i}"
+                widths[i], widths[i - 1], self.bnmode, self.inner_layers, dtype=self.dtype, name=f"down_rn{i}"
             )(laps[i], ma, x)
             if self.with_avg:
-                x = AvgResNet2(widths[i - 1], self.bnmode, name=f"down_avg{i}")(laps[i], ma, x)
+                x = AvgResNet2(widths[i - 1], self.bnmode, dtype=self.dtype, name=f"down_avg{i}")(laps[i], ma, x)
             if self.naive_pool:
                 x = max_pool2(x)
             else:
-                x = LaplacianPooling(widths[i - 1], down=True, name=f"down_pool{i}")(laps[i], x)
+                x = LaplacianPooling(widths[i - 1], down=True, dtype=self.dtype, name=f"down_pool{i}")(laps[i], x)
             ma = max_pool2(ma)
 
-        x = WideLapResNet2(widths[0], widths[0], self.bnmode, self.inner_layers, name="lap0")(
+        x = WideLapResNet2(widths[0], widths[0], self.bnmode, self.inner_layers, dtype=self.dtype, name="lap0")(
             laps[0], None, x
         )
 
@@ -92,15 +96,15 @@ class EfficientCascade(nn.Module):
             if self.naive_pool:
                 x = upsample2(x)
             else:
-                x = LaplacianPooling(widths[i], down=False, name=f"up_pool{i}")(laps[i - 1], x)
+                x = LaplacianPooling(widths[i], down=False, dtype=self.dtype, name=f"up_pool{i}")(laps[i - 1], x)
             x = x + down_series[-i][..., : x.shape[-1]]
             x = WideLapResNet2(
-                widths[i - 1], widths[i], self.bnmode, self.inner_layers, name=f"up_rn{i}"
+                widths[i - 1], widths[i], self.bnmode, self.inner_layers, dtype=self.dtype, name=f"up_rn{i}"
             )(laps[i], mask_series[-i], x)
 
         x = nn.elu(x)
         bn = None if self.bnmode is None else self.bnmode + "pre"
-        x = GraphConv1x1(WIDTH, self.out_features, bn, name="conv2")(x)
+        x = GraphConv1x1(WIDTH, self.out_features, bn, dtype=self.dtype, name="conv2")(x)
         return x + repeating_expand(inputs, x.shape[-1])
 
 

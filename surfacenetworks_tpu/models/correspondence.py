@@ -9,6 +9,8 @@ squared-Laplacian pyramid, indexing ``L_sequence[i//2]`` per Lap layer
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -33,19 +35,20 @@ class Model(nn.Module):
 
     layers: int = 15
     remat: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
         lap_cls = nn.remat(LapResNet2) if self.remat else LapResNet2
         avg_cls = nn.remat(AvgResNet2) if self.remat else AvgResNet2
-        x = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
+        x = GraphConv1x1(3, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         for i in range(self.layers):
             if i % 2 == 0:
-                x = lap_cls(WIDTH, name=f"rn{i}")(op, mask, x)
+                x = lap_cls(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
             else:
-                x = avg_cls(WIDTH, name=f"rn{i}")(op, mask, x)
+                x = avg_cls(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
         x = nn.elu(x)
-        x = GraphConv1x1(WIDTH, OUT, "pre", name="conv2")(x)
+        x = GraphConv1x1(WIDTH, OUT, "pre", dtype=self.dtype, name="conv2")(x)
         return _head(x, inputs)
 
 
@@ -54,64 +57,68 @@ class AmplifyModel(nn.Module):
     pyramid operator ``ops[i//2]`` (last one repeated past the end)."""
 
     layers: int = 15
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, ops, mask, inputs):
-        x = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
+        x = GraphConv1x1(3, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         for i in range(self.layers):
             op = ops[min(i // 2, len(ops) - 1)]
             if i % 2 == 0:
-                x = LapResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+                x = LapResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
             else:
-                x = AvgResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+                x = AvgResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
         x = nn.elu(x)
-        x = GraphConv1x1(WIDTH, OUT, "pre", name="conv2")(x)
+        x = GraphConv1x1(WIDTH, OUT, "pre", dtype=self.dtype, name="conv2")(x)
         return _head(x, inputs)
 
 
 class AvgModel(nn.Module):
     layers: int = 15
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
-        x = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
+        x = GraphConv1x1(3, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         for i in range(self.layers):
-            x = AvgResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+            x = AvgResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
         x = nn.elu(x)
-        x = GraphConv1x1(WIDTH, OUT, "pre", name="conv2")(x)
+        x = GraphConv1x1(WIDTH, OUT, "pre", dtype=self.dtype, name="conv2")(x)
         return _head(x, inputs)
 
 
 class MlpModel(nn.Module):
     layers: int = 15
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
-        x = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
+        x = GraphConv1x1(3, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         for i in range(self.layers):
-            x = MlpResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+            x = MlpResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
         x = GraphBatchNorm(WIDTH, name="bn")(x)
         x = nn.elu(x)
-        x = GraphConv1x1(WIDTH, OUT, None, name="conv2")(x)
+        x = GraphConv1x1(WIDTH, OUT, None, dtype=self.dtype, name="conv2")(x)
         return _head(x, inputs)
 
 
 class DirModel(nn.Module):
     layers: int = 15
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
         batch = inputs.shape[0]
         m = dirac_num_faces(op)
-        v = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
+        v = GraphConv1x1(3, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         f = jnp.zeros((batch, m, WIDTH), dtype=v.dtype)
         for i in range(self.layers):
             if i % 2 == 0:
-                v, f = DirResNet2(WIDTH, name=f"rn{i}")(op, v, f)
+                v, f = DirResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, v, f)
             else:
-                v = AvgResNet2(WIDTH, name=f"rn{i}")(None, mask, v)
+                v = AvgResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(None, mask, v)
         x = nn.elu(v)
-        x = GraphConv1x1(WIDTH, OUT, "pre", name="conv2")(x)
+        x = GraphConv1x1(WIDTH, OUT, "pre", dtype=self.dtype, name="conv2")(x)
         return _head(x, inputs)
 
 
@@ -133,18 +140,23 @@ class SiameseModel(nn.Module):
     model: str = "lap"
     layers: int = 15
     remat: bool = False
+    dtype: Any = None  # trunk computation dtype; logits accumulate in fp32
 
     def setup(self):
         for key, cls in TRUNKS.items():
             if key in self.model:
                 if key == "lap":
-                    self.trunk = cls(self.layers, remat=self.remat)
+                    self.trunk = cls(self.layers, remat=self.remat, dtype=self.dtype)
                 else:
-                    self.trunk = cls(self.layers)
+                    self.trunk = cls(self.layers, dtype=self.dtype)
                 return
         raise ValueError(f"unknown trunk {self.model!r}")
 
     def __call__(self, operation_a, operation_b, input_a, input_b):
         fa = self.trunk(*operation_a, input_a)
         fb = self.trunk(*operation_b, input_b)
+        if self.dtype is not None:
+            # _head promoted to fp32 via the coordinate residual; drop back so
+            # the N x N logits matmul streams bf16 operands through the MXU
+            fa, fb = fa.astype(self.dtype), fb.astype(self.dtype)
         return jnp.einsum("bnc,bmc->bnm", fa, fb, preferred_element_type=jnp.float32)

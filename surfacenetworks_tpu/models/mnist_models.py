@@ -8,6 +8,8 @@ Dropout randomness comes from the flax 'dropout' rng collection; pass
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -19,14 +21,18 @@ NUM_CLASSES = 10
 
 
 class _ClassifierHead(nn.Module):
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x, mask, deterministic):
         x = nn.elu(x)
-        x = GraphConv1x1(WIDTH, WIDTH, "pre", name="bn_conv2")(x)
+        x = GraphConv1x1(WIDTH, WIDTH, "pre", dtype=self.dtype, name="bn_conv2")(x)
         x = nn.elu(x)
         x = jnp.squeeze(global_average(x, mask), axis=-2)
         x = nn.Dropout(0.5, deterministic=deterministic)(x)
-        x = nn.Dense(NUM_CLASSES, name="fc1")(x)
+        # final Dense promotes to fp32 (fp32 params, default dtype): the 10-way
+        # log-softmax and NLL always run full precision
+        x = nn.Dense(NUM_CLASSES, name="fc1")(x.astype(jnp.float32))
         return nn.log_softmax(x, axis=-1)
 
 
@@ -34,52 +40,56 @@ class Model(nn.Module):
     """Laplacian classifier (models.py:22-56)."""
 
     layers: int = 5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs, op, mask, deterministic: bool = False):
-        x = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
+        x = GraphConv1x1(3, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         for i in range(self.layers):
-            x = LapResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
-        return _ClassifierHead(name="head")(x, mask, deterministic)
+            x = LapResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
+        return _ClassifierHead(dtype=self.dtype, name="head")(x, mask, deterministic)
 
 
 class AvgModel(nn.Module):
     """models.py:58-90."""
 
     layers: int = 5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs, op, mask, deterministic: bool = False):
-        x = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
+        x = GraphConv1x1(3, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         for i in range(self.layers):
-            x = AvgResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
-        return _ClassifierHead(name="head")(x, mask, deterministic)
+            x = AvgResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
+        return _ClassifierHead(dtype=self.dtype, name="head")(x, mask, deterministic)
 
 
 class MlpModel(nn.Module):
     """models.py:93-125."""
 
     layers: int = 5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs, op, mask, deterministic: bool = False):
-        x = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
+        x = GraphConv1x1(3, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         for i in range(self.layers):
-            x = MlpResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
-        return _ClassifierHead(name="head")(x, mask, deterministic)
+            x = MlpResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
+        return _ClassifierHead(dtype=self.dtype, name="head")(x, mask, deterministic)
 
 
 class DirModel(nn.Module):
     """models.py:128-159 (vertex stream pooled)."""
 
     layers: int = 5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs, op, mask, deterministic: bool = False):
         batch = inputs.shape[0]
         m = dirac_num_faces(op)
-        v = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
+        v = GraphConv1x1(3, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         f = jnp.zeros((batch, m, WIDTH), dtype=v.dtype)
         for i in range(self.layers):
-            v, f = DirResNet2(WIDTH, name=f"rn{i}")(op, v, f)
-        return _ClassifierHead(name="head")(v, mask, deterministic)
+            v, f = DirResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, v, f)
+        return _ClassifierHead(dtype=self.dtype, name="head")(v, mask, deterministic)

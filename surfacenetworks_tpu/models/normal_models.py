@@ -7,6 +7,8 @@ input-residual heads are reference behaviours (models.py:53-57, :77).
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -45,6 +47,7 @@ class LapDeepModel(nn.Module):
     remat: bool = False  # rematerialize each block's activations in the
     # backward pass (jax.checkpoint) — trades ~1 extra forward of FLOPs for
     # O(layers) -> O(1) stored activations; for FAUST-scale meshes
+    dtype: Any = None  # computation dtype (bfloat16 for mixed precision)
 
     @nn.compact
     def __call__(self, op, mask, inputs):
@@ -53,20 +56,21 @@ class LapDeepModel(nn.Module):
             widths = [128, 128, 64, 64, 32, 32, 16, 16, 16, 16, 32, 32, 64, 64, 128, 128, 128]
         else:
             widths = [WIDTH] * (self.layers + 1)
-        x = GraphConv1x1(self.in_features, WIDTH, "", name="conv1")(inputs)
+        x = GraphConv1x1(self.in_features, WIDTH, "", dtype=self.dtype, name="conv1")(inputs)
         lap_cls = nn.remat(WideLapResNet2) if self.remat else WideLapResNet2
         avg_cls = nn.remat(WideAvgResNet2) if self.remat else WideAvgResNet2
         for i in range(self.layers):
             if i % 2 == 0 or self.only_lap:
-                x = lap_cls(widths[i], widths[i + 1], self.bnmode, name=f"rn{i}")(
+                x = lap_cls(widths[i], widths[i + 1], self.bnmode, dtype=self.dtype, name=f"rn{i}")(
                     op, mask, x
                 )
             else:
-                x = avg_cls(widths[i], widths[i + 1], self.bnmode, name=f"rn{i}")(
+                x = avg_cls(widths[i], widths[i + 1], self.bnmode, dtype=self.dtype, name=f"rn{i}")(
                     op, mask, x
                 )
         x = nn.elu(x)
-        x = GraphConv1x1(WIDTH, self.out_features, _conv2_bn(self.bnmode), name="conv2")(x)
+        x = GraphConv1x1(WIDTH, self.out_features, _conv2_bn(self.bnmode), dtype=self.dtype, name="conv2")(x)
+        # the input residual is fp32; the sum promotes, so outputs are fp32
         return x + repeating_expand(inputs, x.shape[-1])
 
 
@@ -79,6 +83,7 @@ class DirDeepModel(nn.Module):
     out_features: int
     layers: int = 15
     num_faces: int | None = None  # inferred from the operator if None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
@@ -88,15 +93,15 @@ class DirDeepModel(nn.Module):
         else:
             # structured DiracOperator carries faces [B, M, 3]
             m = dirac_num_faces(op)
-        v = GraphConv1x1(self.in_features, WIDTH, None, name="conv1")(inputs)
+        v = GraphConv1x1(self.in_features, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         f = jnp.zeros((batch, m, WIDTH), dtype=v.dtype)
         for i in range(self.layers):
             if i % 2 == 0:
-                v, f = DirResNet2(WIDTH, name=f"rn{i}")(op, v, f)
+                v, f = DirResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, v, f)
             else:
-                v = AvgResNet2(WIDTH, name=f"rn{i}")(None, mask, v)
-        x = GraphConv1x1(WIDTH, self.out_features, "pre", name="conv2")(v)
-        return nn.elu(x)
+                v = AvgResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(None, mask, v)
+        x = GraphConv1x1(WIDTH, self.out_features, "pre", dtype=self.dtype, name="conv2")(v)
+        return nn.elu(x.astype(jnp.float32))
 
 
 class DirModelToFace(nn.Module):
@@ -105,20 +110,21 @@ class DirModelToFace(nn.Module):
     in_features: int
     out_features: int
     layers: int = 16
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
         batch = inputs.shape[0]
         m = dirac_num_faces(op)
-        v = GraphConv1x1(self.in_features, WIDTH, None, name="conv1")(inputs)
+        v = GraphConv1x1(self.in_features, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         f = jnp.zeros((batch, m, WIDTH), dtype=v.dtype)
         for i in range(self.layers):
             if i % 2 == 0:
-                v, f = DirResNet2(WIDTH, name=f"rn{i}")(op, v, f)
+                v, f = DirResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, v, f)
             else:
-                v = AvgResNet2(WIDTH, name=f"rn{i}")(None, mask, v)
+                v = AvgResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(None, mask, v)
         x = nn.elu(f)
-        return GraphConv1x1(WIDTH, self.out_features, "pre", name="conv2")(x)
+        return GraphConv1x1(WIDTH, self.out_features, "pre", dtype=self.dtype, name="conv2")(x).astype(jnp.float32)
 
 
 class AvgModel(nn.Module):
@@ -127,14 +133,15 @@ class AvgModel(nn.Module):
     in_features: int
     out_features: int
     layers: int = 15
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
-        x = GraphConv1x1(self.in_features, WIDTH, None, name="conv1")(inputs)
+        x = GraphConv1x1(self.in_features, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         for i in range(self.layers):
-            x = AvgResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+            x = AvgResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
         x = nn.elu(x)
-        x = GraphConv1x1(WIDTH, self.out_features, "pre", name="conv2")(x)
+        x = GraphConv1x1(WIDTH, self.out_features, "pre", dtype=self.dtype, name="conv2")(x)
         return x + inputs
 
 
@@ -144,17 +151,18 @@ class MlpModel(nn.Module):
     in_features: int
     out_features: int
     layers: int = 15
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
         from surfacenetworks_tpu.nn.layers import GraphBatchNorm
 
-        x = GraphConv1x1(self.in_features, WIDTH, None, name="conv1")(inputs)
+        x = GraphConv1x1(self.in_features, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         for i in range(self.layers):
-            x = MlpResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+            x = MlpResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
         x = GraphBatchNorm(WIDTH, name="bn")(x)
         x = nn.elu(x)
-        x = GraphConv1x1(WIDTH, self.out_features, None, name="conv2")(x)
+        x = GraphConv1x1(WIDTH, self.out_features, None, dtype=self.dtype, name="conv2")(x)
         return x + inputs
 
 
@@ -164,11 +172,12 @@ class IdDeepModel(nn.Module):
     in_features: int
     out_features: int
     layers: int = 15
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
-        x = GraphConv1x1(self.in_features, WIDTH, None, name="conv1")(inputs)
+        x = GraphConv1x1(self.in_features, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         for i in range(self.layers):
-            x = IdResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
-        x = GraphConv1x1(WIDTH, self.out_features, "pre", name="conv2")(x)
-        return nn.elu(x)
+            x = IdResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
+        x = GraphConv1x1(WIDTH, self.out_features, "pre", dtype=self.dtype, name="conv2")(x)
+        return nn.elu(x.astype(jnp.float32))

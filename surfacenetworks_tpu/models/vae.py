@@ -9,6 +9,8 @@ learned scalar output log-variance.  Sampling randomness is passed explicitly
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -25,18 +27,21 @@ class LapEncoder(nn.Module):
     global average -> (mu, logvar) heads."""
 
     num_layers: int = 5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs, op, mask):
-        x = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
+        x = GraphConv1x1(3, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         for i in range(self.num_layers):
-            x = LapResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+            x = LapResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
         x = nn.elu(x)
-        x = GraphConv1x1(WIDTH, WIDTH, "pre", name="bn_conv2")(x)
+        x = GraphConv1x1(WIDTH, WIDTH, "pre", dtype=self.dtype, name="bn_conv2")(x)
         x = nn.elu(x)
         x = jnp.squeeze(global_average(x, mask), axis=-2)
-        mu = nn.Dense(LATENT, name="fc_mu")(x)
-        logvar = nn.Dense(LATENT, name="fc_logvar")(x)
+        # latent heads promote to fp32 (fp32 params, default Dense dtype):
+        # the reparametrization exp() and KLD always run full precision
+        mu = nn.Dense(LATENT, name="fc_mu")(x.astype(jnp.float32))
+        logvar = nn.Dense(LATENT, name="fc_logvar")(x.astype(jnp.float32))
         return mu, logvar
 
 
@@ -46,30 +51,33 @@ class LapDecoder(nn.Module):
     learned scalar broadcast to the output shape."""
 
     num_layers: int = 5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs, noise, op, mask):
-        x = GraphConv1x1(3, WIDTH, None, name="conv_inputs")(inputs)
-        x = x + GraphConv1x1(LATENT, WIDTH, None, name="conv_noise")(noise)
+        x = GraphConv1x1(3, WIDTH, None, dtype=self.dtype, name="conv_inputs")(inputs)
+        x = x + GraphConv1x1(LATENT, WIDTH, None, dtype=self.dtype, name="conv_noise")(noise)
         for i in range(self.num_layers):
-            x = LapResNet2(WIDTH, name=f"rn{i}")(op, mask, x)
+            x = LapResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
         x = nn.elu(x)
-        x = GraphConv1x1(WIDTH, WIDTH, "pre", name="bn_conv2")(x)
+        x = GraphConv1x1(WIDTH, WIDTH, "pre", dtype=self.dtype, name="bn_conv2")(x)
         x = nn.elu(x)
-        mu = GraphConv1x1(WIDTH, 3, None, name="fc_mu")(x)
+        mu = GraphConv1x1(WIDTH, 3, None, dtype=self.dtype, name="fc_mu")(x)
         logvar = self.param("fc_logvar", nn.initializers.zeros, (1, 1, 1))
+        mu = mu.astype(jnp.float32) + inputs  # reconstruction NLL is fp32
         y = jnp.broadcast_to(logvar, mu.shape)
-        return mu + inputs, y
+        return mu, y
 
 
 class LapVAE(nn.Module):
     """models_vae.py:88-114."""
 
     num_layers: int = 5
+    dtype: Any = None
 
     def setup(self):
-        self.encoder = LapEncoder(self.num_layers)
-        self.decoder = LapDecoder(self.num_layers)
+        self.encoder = LapEncoder(self.num_layers, dtype=self.dtype)
+        self.decoder = LapDecoder(self.num_layers, dtype=self.dtype)
 
     def reparametrize(self, mu, logvar):
         std = jnp.exp(0.5 * logvar)
@@ -92,19 +100,21 @@ class DirEncoder(nn.Module):
     """models_vae.py:117-155: Dirac blocks with zero-initialized face stream."""
 
     num_layers: int = 5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs, op, mask):
         batch = inputs.shape[0]
         m = dirac_num_faces(op)
-        v = GraphConv1x1(3, WIDTH, None, name="conv1")(inputs)
+        v = GraphConv1x1(3, WIDTH, None, dtype=self.dtype, name="conv1")(inputs)
         f = jnp.zeros((batch, m, WIDTH), dtype=v.dtype)
         for i in range(self.num_layers):
-            v, f = DirResNet2(WIDTH, name=f"rn{i}")(op, v, f)
+            v, f = DirResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, v, f)
         x = nn.elu(v)
-        x = GraphConv1x1(WIDTH, WIDTH, "pre", name="bn_conv2")(x)
+        x = GraphConv1x1(WIDTH, WIDTH, "pre", dtype=self.dtype, name="bn_conv2")(x)
         x = nn.elu(x)
         x = jnp.squeeze(global_average(x, mask), axis=-2)
+        x = x.astype(jnp.float32)
         return nn.Dense(LATENT, name="fc_mu")(x), nn.Dense(LATENT, name="fc_logvar")(x)
 
 
@@ -112,32 +122,35 @@ class DirDecoder(nn.Module):
     """models_vae.py:158-198."""
 
     num_layers: int = 5
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs, noise, op, mask):
         batch = inputs.shape[0]
         m = dirac_num_faces(op)
-        v = GraphConv1x1(3, WIDTH, None, name="conv_inputs")(inputs)
-        v = v + GraphConv1x1(LATENT, WIDTH, None, name="conv_noise")(noise)
+        v = GraphConv1x1(3, WIDTH, None, dtype=self.dtype, name="conv_inputs")(inputs)
+        v = v + GraphConv1x1(LATENT, WIDTH, None, dtype=self.dtype, name="conv_noise")(noise)
         f = jnp.zeros((batch, m, WIDTH), dtype=v.dtype)
         for i in range(self.num_layers):
-            v, f = DirResNet2(WIDTH, name=f"rn{i}")(op, v, f)
+            v, f = DirResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, v, f)
         x = nn.elu(v)
-        x = GraphConv1x1(WIDTH, WIDTH, "pre", name="bn_conv2")(x)
+        x = GraphConv1x1(WIDTH, WIDTH, "pre", dtype=self.dtype, name="bn_conv2")(x)
         x = nn.elu(x)
-        mu = GraphConv1x1(WIDTH, 3, None, name="fc_mu")(x)
+        mu = GraphConv1x1(WIDTH, 3, None, dtype=self.dtype, name="fc_mu")(x)
         logvar = self.param("fc_logvar", nn.initializers.zeros, (1, 1, 1))
-        return mu + inputs, jnp.broadcast_to(logvar, mu.shape)
+        mu = mu.astype(jnp.float32) + inputs
+        return mu, jnp.broadcast_to(logvar, mu.shape)
 
 
 class DirVAE(nn.Module):
     """models_vae.py:200-226."""
 
     num_layers: int = 5
+    dtype: Any = None
 
     def setup(self):
-        self.encoder = DirEncoder(self.num_layers)
-        self.decoder = DirDecoder(self.num_layers)
+        self.encoder = DirEncoder(self.num_layers, dtype=self.dtype)
+        self.decoder = DirDecoder(self.num_layers, dtype=self.dtype)
 
     def reparametrize(self, mu, logvar):
         std = jnp.exp(0.5 * logvar)

@@ -124,6 +124,20 @@ def dirac_num_faces(op) -> int:
     return di.shape[-2] // 4
 
 
+def _cat_op(x: jnp.ndarray, ox: jnp.ndarray) -> jnp.ndarray:
+    """Concat [x || Op x] in the *wider* of the two dtypes.
+
+    Under mixed precision x is bf16 but the operator result arrives fp32
+    (fp32-stored operator values, fp32 accumulation); rounding it to bf16
+    before the 'pre' BatchNorm amplifies the rounding by |mean|/std per
+    channel — raw Laplacian channels reach ~100x.  Promoting the concat keeps
+    BN statistics full-precision; the following Dense casts back down.
+    fp32-everything callers see exact reference numerics (both sides fp32).
+    """
+    dt = jnp.promote_types(x.dtype, ox.dtype)
+    return jnp.concatenate([x.astype(dt), ox.astype(dt)], axis=-1)
+
+
 def _bn_mode(bnmode: str | None) -> str | None:
     """Reference convention: bnmode '' -> 'pre'; None -> no norm; other strings
     pass through (and unknown strings disable norm inside GraphConv1x1)."""
@@ -137,15 +151,16 @@ class LapResNet2(nn.Module):
 
     features: int
     bnmode: str | None = ""
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
         x = nn.elu(inputs)
-        x = jnp.concatenate([x, apply_operator(op, x)], axis=-1)
-        x = GraphConv1x1(2 * self.features, self.features, _bn_mode(self.bnmode), name="bn_fc0")(x)
+        x = _cat_op(x, apply_operator(op, x))
+        x = GraphConv1x1(2 * self.features, self.features, _bn_mode(self.bnmode), dtype=self.dtype, name="bn_fc0")(x)
         x = nn.elu(x)
-        x = jnp.concatenate([x, apply_operator(op, x)], axis=-1)
-        x = GraphConv1x1(2 * self.features, self.features, _bn_mode(self.bnmode), name="bn_fc1")(x)
+        x = _cat_op(x, apply_operator(op, x))
+        x = GraphConv1x1(2 * self.features, self.features, _bn_mode(self.bnmode), dtype=self.dtype, name="bn_fc1")(x)
         return x + inputs
 
 
@@ -154,17 +169,18 @@ class AvgResNet2(nn.Module):
 
     features: int
     bnmode: str | None = ""
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
         x = nn.elu(inputs)
         avg = jnp.broadcast_to(global_average(x, mask), x.shape)
         x = jnp.concatenate([x, avg], axis=-1)
-        x = GraphConv1x1(2 * self.features, self.features, _bn_mode(self.bnmode), name="bn_fc0")(x)
+        x = GraphConv1x1(2 * self.features, self.features, _bn_mode(self.bnmode), dtype=self.dtype, name="bn_fc0")(x)
         x = nn.elu(x)
         avg = jnp.broadcast_to(global_average(x, mask), x.shape)
         x = jnp.concatenate([x, avg], axis=-1)
-        x = GraphConv1x1(2 * self.features, self.features, _bn_mode(self.bnmode), name="bn_fc1")(x)
+        x = GraphConv1x1(2 * self.features, self.features, _bn_mode(self.bnmode), dtype=self.dtype, name="bn_fc1")(x)
         return x + inputs
 
 
@@ -172,15 +188,16 @@ class IdResNet2(nn.Module):
     """Identity-op ablation block (normal_predict/models.py:324-345)."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
         x = nn.elu(inputs)
         x = jnp.concatenate([x, x], axis=-1)
-        x = GraphConv1x1(2 * self.features, self.features, "pre", name="bn_fc0")(x)
+        x = GraphConv1x1(2 * self.features, self.features, "pre", dtype=self.dtype, name="bn_fc0")(x)
         x = nn.elu(x)
         x = jnp.concatenate([x, x], axis=-1)
-        x = GraphConv1x1(2 * self.features, self.features, "pre", name="bn_fc1")(x)
+        x = GraphConv1x1(2 * self.features, self.features, "pre", dtype=self.dtype, name="bn_fc1")(x)
         return x + inputs
 
 
@@ -188,15 +205,16 @@ class MlpResNet2(nn.Module):
     """Pointwise residual block (utils_pt.py:245-263)."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
         x = GraphBatchNorm(self.features, name="bn0")(inputs)
         x = nn.elu(x)
-        x = GraphConv1x1(self.features, self.features, None, name="fc0")(x)
+        x = GraphConv1x1(self.features, self.features, None, dtype=self.dtype, name="fc0")(x)
         x = GraphBatchNorm(self.features, name="bn1")(x)
         x = nn.elu(x)
-        x = GraphConv1x1(self.features, self.features, None, name="fc1")(x)
+        x = GraphConv1x1(self.features, self.features, None, dtype=self.dtype, name="fc1")(x)
         return x + inputs
 
 
@@ -210,19 +228,22 @@ class DirResNet2(nn.Module):
 
     features: int
     res_f: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, v, f):
         x_in, f_in = nn.elu(v), nn.elu(f)
         x = apply_dirac_vf(op, x_in)
-        x = jnp.concatenate([f_in, x], axis=-1)
-        x = GraphConv1x1(2 * self.features, self.features, "pre", name="bn_fc0")(x)
+        dt = jnp.promote_types(f_in.dtype, x.dtype)
+        x = jnp.concatenate([f_in.astype(dt), x.astype(dt)], axis=-1)
+        x = GraphConv1x1(2 * self.features, self.features, "pre", dtype=self.dtype, name="bn_fc0")(x)
         f_out = x
 
         x = nn.elu(x)
         x = apply_dirac_fv(op, x)
-        x = jnp.concatenate([x_in, x], axis=-1)
-        x = GraphConv1x1(2 * self.features, self.features, "pre", name="bn_fc1")(x)
+        dt = jnp.promote_types(x_in.dtype, x.dtype)
+        x = jnp.concatenate([x_in.astype(dt), x.astype(dt)], axis=-1)
+        x = GraphConv1x1(2 * self.features, self.features, "pre", dtype=self.dtype, name="bn_fc1")(x)
         v_out = x
 
         if self.res_f:
@@ -238,6 +259,7 @@ class WideLapResNet2(nn.Module):
     num_outputs: int | None = None
     bnmode: str | None = ""
     inner_layers: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
@@ -246,9 +268,9 @@ class WideLapResNet2(nn.Module):
         widths_in = [self.num_inputs] + [num_outputs] * (self.inner_layers - 1)
         for i in range(self.inner_layers):
             x = nn.elu(x)
-            x = jnp.concatenate([x, apply_operator(op, x)], axis=-1)
+            x = _cat_op(x, apply_operator(op, x))
             x = GraphConv1x1(
-                2 * widths_in[i], num_outputs, _bn_mode(self.bnmode), name=f"bn_fc{i}"
+                2 * widths_in[i], num_outputs, _bn_mode(self.bnmode), dtype=self.dtype, name=f"bn_fc{i}"
             )(x)
         if num_outputs <= inputs.shape[-1]:
             return x + inputs[..., :num_outputs]
@@ -262,6 +284,7 @@ class WideAvgResNet2(nn.Module):
     num_outputs: int | None = None
     bnmode: str | None = ""
     inner_layers: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, op, mask, inputs):
@@ -273,7 +296,7 @@ class WideAvgResNet2(nn.Module):
             avg = jnp.broadcast_to(global_average(x, mask), x.shape)
             x = jnp.concatenate([x, avg], axis=-1)
             x = GraphConv1x1(
-                2 * widths_in[i], num_outputs, _bn_mode(self.bnmode), name=f"bn_fc{i}"
+                2 * widths_in[i], num_outputs, _bn_mode(self.bnmode), dtype=self.dtype, name=f"bn_fc{i}"
             )(x)
         if num_outputs <= inputs.shape[-1]:
             return x + inputs[..., :num_outputs]

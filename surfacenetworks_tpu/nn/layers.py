@@ -17,9 +17,21 @@ in training mode even during evaluation ("BatchNorm for some reasons is not
 stable in eval", mesh_mnist/main.py:180-183), so batch statistics are the
 only statistics that ever matter.  This makes every layer a pure function —
 jit/pjit-friendly with no mutable state.
+
+Mixed precision: every layer takes flax's conventional ``dtype`` attribute
+(the *computation* dtype; params always stay float32).  ``dtype=None``
+(default) reproduces float32 reference numerics bit-for-bit.
+``dtype=jnp.bfloat16`` runs matmuls and activations in bf16 — the MXU's
+native input width, and half the HBM traffic on the bandwidth-bound
+elementwise chain — while reductions that are numerically fragile at bf16
+(batch-norm statistics, global averages) are computed in float32 and cast
+back.  Losses upcast to float32 at their entry, so the only bf16 effects are
+rounded activations (~2e-3 relative).
 """
 
 from __future__ import annotations
+
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -35,12 +47,16 @@ def global_average(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     axis is a device shard; the masked sums are psummed over that mesh axis so
     every shard sees the mesh-global average.
     """
-    num = jnp.sum(x * mask, axis=-2, keepdims=True)
-    den = jnp.sum(mask * jnp.ones_like(x), axis=-2, keepdims=True)
+    # vertex-axis sums run at >= fp32 even under bf16 (and stay f64 under x64)
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(acc_dtype)
+    mf = mask.astype(acc_dtype)
+    num = jnp.sum(xf * mf, axis=-2, keepdims=True)
+    den = jnp.sum(mf * jnp.ones_like(xf), axis=-2, keepdims=True)
     axis = parallel_context.vertex_reduction_axis()
     if axis is not None:
         num, den = jax.lax.psum((num, den), axis)
-    return num / den
+    return (num / den).astype(x.dtype)
 
 
 class GraphBatchNorm(nn.Module):
@@ -59,6 +75,11 @@ class GraphBatchNorm(nn.Module):
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
         gamma = self.param("scale", nn.initializers.ones, (self.features,))
         beta = self.param("bias", nn.initializers.zeros, (self.features,))
+        out_dtype = x.dtype
+        # statistics run at >= fp32: a bf16 sum over B*N rows loses ~3
+        # decimal digits and BN divides by it.  fp32 in == fp32 out (no-op);
+        # f64 stays f64 (the x64 parity suites).
+        x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         axes = tuple(range(x.ndim - 1))
         psum_axes = parallel_context.reduction_axes_for_stats()
         if psum_axes:
@@ -86,7 +107,7 @@ class GraphBatchNorm(nn.Module):
             mean = jnp.mean(x, axis=axes)
             var = jnp.var(x, axis=axes)
         y = (x - mean) / jnp.sqrt(var + self.eps)
-        return y * gamma + beta
+        return (y * gamma + beta).astype(out_dtype)
 
 
 class GraphConv1x1(nn.Module):
@@ -102,13 +123,18 @@ class GraphConv1x1(nn.Module):
     num_outputs: int
     batch_norm: str | None = None
     masked_bn: bool = False
+    dtype: Any = None  # computation dtype (params stay fp32); None == fp32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
         assert x.shape[-1] == self.num_inputs, (x.shape, self.num_inputs)
         if self.batch_norm == "pre":
+            # BN reads x at whatever precision it arrives (fp32 operator
+            # results stay unrounded — BN's (x-mean)/std amplifies input
+            # rounding by |mean|/std per channel, which for raw Laplacian
+            # channels reaches 100x); the Dense below casts to self.dtype.
             x = GraphBatchNorm(self.num_inputs, masked=self.masked_bn, name="bn")(x, mask)
-        x = nn.Dense(self.num_outputs, name="fc")(x)
+        x = nn.Dense(self.num_outputs, dtype=self.dtype, name="fc")(x)
         if self.batch_norm == "post":
             x = GraphBatchNorm(self.num_outputs, masked=self.masked_bn, name="bn")(x, mask)
         return x

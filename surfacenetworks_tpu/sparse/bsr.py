@@ -80,7 +80,12 @@ def bsr_from_scipy(
     C = n_cols if n_cols is not None else M.shape[1]
     R = (R + bs - 1) // bs * bs
     C = (C + bs - 1) // bs * bs
-    Mp = sp.csr_matrix(M.astype(dtype))
+    # scipy cannot hold bf16 — assemble fp32 and cast the packed blocks at the
+    # end.  bf16 block storage halves the dominant HBM stream of the apply
+    # (NB*KB*bs*bs values) at zero extra rounding: the MXU's default
+    # precision rounds fp32 matmul inputs to bf16 anyway.
+    build_dtype = dtype if dtype in (np.float32, np.float64) else np.float32
+    Mp = sp.csr_matrix(M.astype(build_dtype))
     Mp.resize((R, C))
     bsr = Mp.tobsr((bs, bs))
     NB = R // bs
@@ -91,12 +96,14 @@ def bsr_from_scipy(
     elif kmax > k:
         raise ValueError(f"BSR k={k} smaller than max block-row degree {kmax}")
     block_cols = np.zeros((NB, k), dtype=np.int32)
-    block_vals = np.zeros((NB, k, bs, bs), dtype=dtype)
+    block_vals = np.zeros((NB, k, bs, bs), dtype=build_dtype)
     nnzb = bsr.indptr[-1]
     row_of = np.repeat(np.arange(NB), deg)
     slot = np.arange(nnzb) - np.repeat(bsr.indptr[:-1], deg)
     block_cols[row_of, slot] = bsr.indices
     block_vals[row_of, slot] = bsr.data
+    if build_dtype is not dtype:
+        block_vals = block_vals.astype(dtype)
     return BsrMatrix(block_cols=block_cols, block_vals=block_vals, n_cols=C)
 
 
@@ -147,7 +154,9 @@ def _bsr_matmul_xla(block_cols, block_vals, x):
         gathered.astype(block_vals.dtype),
         preferred_element_type=jnp.float32,
     )
-    return out.reshape(-1, c).astype(x.dtype)
+    # fp32 accumulation is returned as-is (even for bf16 x / bf16 blocks):
+    # downstream BatchNorm statistics want the unrounded operator result
+    return out.reshape(-1, c)
 
 
 def _bsr_matmul(m: BsrMatrix, x):
@@ -178,11 +187,12 @@ def bsr_spmm(op: BsrOperator, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _bsr_vjp_fwd(op, x):
-    return bsr_spmm(op, x), op
+    return bsr_spmm(op, x), (op, jnp.zeros((0,), x.dtype))
 
 
-def _bsr_vjp_bwd(op, g):
-    x_bar = _bsr_fwd_only(op.bwd, g)
+def _bsr_vjp_bwd(res, g):
+    op, wit = res
+    x_bar = _bsr_fwd_only(op.bwd, g).astype(wit.dtype)
     return (jax.tree_util.tree_map(jnp.zeros_like, op), x_bar)
 
 

@@ -85,11 +85,15 @@ def _spmm_fwd_only(m: EllMatrix, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _spmm_vjp_fwd(op, x):
-    return spmm(op, x), op
+    # dtype witness: under mixed precision x may be bf16 while the fp32-stored
+    # operator makes the forward (and hence g and x_bar) fp32 — the cotangent
+    # must be cast back to the primal dtype for custom_vjp to typecheck.
+    return spmm(op, x), (op, jnp.zeros((0,), x.dtype))
 
 
-def _spmm_vjp_bwd(op, g):
-    x_bar = _spmm_fwd_only(op.bwd, g)
+def _spmm_vjp_bwd(res, g):
+    op, wit = res
+    x_bar = _spmm_fwd_only(op.bwd, g).astype(wit.dtype)
     op_bar = jax.tree_util.tree_map(jnp.zeros_like, op)
     return (op_bar, x_bar)
 
@@ -189,7 +193,7 @@ def _sddmm_vjp_bwd(res, g):
     else:
         da, db = jax.vmap(one)(m.cols, gm, a, b)
     op_bar = jax.tree_util.tree_map(jnp.zeros_like, op)
-    return (op_bar, da, db)
+    return (op_bar, da.astype(a.dtype), db.astype(b.dtype))
 
 
 sddmm.defvjp(_sddmm_vjp_fwd, _sddmm_vjp_bwd)
@@ -316,12 +320,13 @@ def _apply_vertex_side(op: DiracOperator, q_main, q_ov, x):
 
 
 def _dirac_vf_fwd(op, v):
-    return dirac_apply_vf(op, v), op
+    return dirac_apply_vf(op, v), (op, jnp.zeros((0,), v.dtype))
 
 
-def _dirac_vf_bwd(op, g):
+def _dirac_vf_bwd(res, g):
     # v_bar[j] = sum over incident (face,corner): conj(q_fv) (x) g[face]
-    out = _apply_vertex_side(op, op.q_bwd_v, op.q_ov_bwd_v, g)
+    op, wit = res
+    out = _apply_vertex_side(op, op.q_bwd_v, op.q_ov_bwd_v, g).astype(wit.dtype)
     op_bar = jax.tree_util.tree_map(jnp.zeros_like, op)
     return (op_bar, out)
 
@@ -344,17 +349,18 @@ def _dirac_fv_raw(op: DiracOperator, f):
 
 
 def _dirac_fv_fwd(op, f):
-    return dirac_apply_fv(op, f), op
+    return dirac_apply_fv(op, f), (op, jnp.zeros((0,), f.dtype))
 
 
-def _dirac_fv_bwd(op, g):
+def _dirac_fv_bwd(res, g):
     # f_bar[i] = sum_c conj(q_vf at (F[i,c], slot)) (x) g[F[i,c]]
+    op, wit = res
     if op.faces.ndim == 2:
         out = _dirac_gather_apply(op.faces, op.q_bwd_f, g)
     else:
         out = jax.vmap(_dirac_gather_apply)(op.faces, op.q_bwd_f, g)
     op_bar = jax.tree_util.tree_map(jnp.zeros_like, op)
-    return (op_bar, out)
+    return (op_bar, out.astype(wit.dtype))
 
 
 dirac_apply_fv.defvjp(_dirac_fv_fwd, _dirac_fv_bwd)
