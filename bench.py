@@ -224,13 +224,21 @@ def _siamese_step_time(n_points=7000, layers=15, channels=128, iters=6, bf16=Fal
             out.append(time.perf_counter() - t0)
         return statistics.median(out)
 
+    # peak temp (activation) memory of the compiled step — the capacity
+    # knob: bf16 halves stored activations, raising the max mesh per chip
+    try:
+        mem = run_jit.lower(state, 1).compile().memory_analysis()
+        temp_mb = round(mem.temp_size_in_bytes / 2**20, 1)
+    except Exception:
+        temp_mb = None
+
     timed(1), timed(9)  # warm both compiles
     t1, t9 = timed(1), timed(9)
     diff = t9 - t1
     if diff < 0.2 * t9:
         # dispatch noise swamped the difference; latency-inclusive estimate
-        return t9 / 9
-    return diff / 8
+        return t9 / 9, temp_mb
+    return diff / 8, temp_mb
 
 
 def main():
@@ -517,9 +525,9 @@ def main():
     t_sddmm_p = _per_apply(sddmm_p_iter, (op, xj, xj))
     t_dense_head = _per_apply(dense_head_iter, (xj, xj))
     t_step = _train_step_time()
-    t_faust = _siamese_step_time()
+    t_faust, faust_temp_mb = _siamese_step_time()
     t_step16 = _train_step_time(bf16=True)
-    t_faust16 = _siamese_step_time(bf16=True)
+    t_faust16, faust_temp_mb_16 = _siamese_step_time(bf16=True)
 
     best_name, best_t = min(
         [
@@ -563,6 +571,8 @@ def main():
                     "train_step_ms_faust": round(t_faust * 1e3, 3),
                     "train_step_ms_b4_n1000_l15_bf16": round(t_step16 * 1e3, 3),
                     "train_step_ms_faust_bf16": round(t_faust16 * 1e3, 3),
+                    "faust_step_temp_mb": faust_temp_mb,
+                    "faust_step_temp_mb_bf16": faust_temp_mb_16,
                     "device": str(device),
                 },
             }

@@ -165,6 +165,22 @@ def measure(
             if profile_dir and n_parts == max(parts_list):
                 with jax.profiler.trace(profile_dir):
                     float(chain(op_d, x_d, jnp.asarray(64, jnp.int32)))
+            # dataflow proof that the interior aggregation can hide the
+            # exchange (backend-invariant; see dist/analysis.py)
+            if n_parts > 1:
+                from jax.sharding import PartitionSpec as P2
+
+                from surfacenetworks_tpu.dist.analysis import check_overlap_structure
+
+                overlap_structure = check_overlap_structure(
+                    jax.shard_map(
+                        edge_partition.partitioned_spmm, mesh=mesh,
+                        in_specs=(P2("graph"), P2("graph")), out_specs=P2("graph"),
+                    ),
+                    pop, jnp.asarray(x),
+                )
+            else:
+                overlap_structure = None
         results[n_parts] = {
             "edges_per_s": nnz / t,
             "us_per_apply": t * 1e6,
@@ -172,6 +188,11 @@ def measure(
             "exposed_comm_fraction": max(0.0, (t - t_nc) / t),
             "bnd_row_fraction": bnd_fraction,
             "halo": halo,
+            **(
+                {"overlap_structure": overlap_structure}
+                if overlap_structure is not None
+                else {}
+            ),
         }
     base = None
     for p in sorted(results):
@@ -199,6 +220,13 @@ def measure(
                 ),
                 "serialized": predict_ici_efficiency(
                     t1, halo_hw, channels, p, bf, ici_gb_s=ici_gbps, overlap=False
+                ),
+                # --bf16 halves the exchanged feature bytes (the ppermute
+                # carries x_loc at its activation dtype); compute time is
+                # measured ~unchanged (BENCH r03), so model it at halved wire
+                # bytes and the same t1
+                "overlap_bf16_halo": predict_ici_efficiency(
+                    t1, halo_hw, channels // 2, p, bf, ici_gb_s=ici_gbps
                 ),
             }
     return {
