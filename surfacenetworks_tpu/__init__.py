@@ -18,6 +18,8 @@ Zorin, Bruna — CVPR 2018):
 * ``train``     — jit-compiled train steps, optimizers, checkpointing, metrics.
 * ``dist``      — device-mesh data parallelism and edge-partitioned operator
   sharding with halo exchange (no reference analogue; TPU-native scale-out).
+* ``serve``     — ahead-of-time StableHLO export (jax.export) for deployment
+  without the model code (no reference analogue).
 """
 
 __version__ = "0.1.0"

