@@ -495,6 +495,21 @@ def main():
     t_bsr = _per_apply(bsr_iter, (bop, xj))
     bop16 = jax.device_put(to_bf16(jax.device_get(bop)))
     t_bsr16 = _per_apply(bsr_iter, (bop16, xj))
+    # full bf16 chain: bf16 activations AND bf16 blocks — the operator apply
+    # exactly as a --bf16 training step issues it.  Numerics identical to the
+    # MXU's default fp32-input rounding (both operands round to bf16 on the
+    # systolic array either way); measured 17.7 vs 22.4 us fp32 — the win is
+    # bounded by the x-gather pattern, not the block stream alone.
+    @jax.jit
+    def bsr16_chain_iter(bop, x, n):
+        # the fp32 accumulation is cast back to bf16 each step, as the next
+        # Dense layer does in a --bf16 model
+        def body(_, y):
+            return (sps.bsr_spmm(bop, y) * 0.2 + x * 0.01).astype(jnp.bfloat16)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.float32))
+
+    t_bsr16c = _per_apply(bsr16_chain_iter, (bop16, xj.astype(jnp.bfloat16)))
     t_dense = _per_apply(dense_iter, (jnp.asarray(dense_pad), xj))
     vxj = jnp.asarray(vx)
     t_dirac = _per_apply(dirac_iter, (dop, vxj))
@@ -535,6 +550,7 @@ def main():
             ("ell_pallas", t_ellp),
             ("bsr_mxu", t_bsr),
             ("bsr_mxu_bf16", t_bsr16),
+            ("bsr_mxu_bf16_chain", t_bsr16c),
         ],
         key=lambda kv: kv[1],
     )
@@ -557,6 +573,7 @@ def main():
                     "ell_pallas_default_prec_us_per_apply": round(t_ellp_fast * 1e6, 3),
                     "bsr_us_per_apply": round(t_bsr * 1e6, 3),
                     "bsr_bf16_us_per_apply": round(t_bsr16 * 1e6, 3),
+                    "bsr_bf16_chain_us_per_apply": round(t_bsr16c * 1e6, 3),
                     "dense_us_per_apply": round(t_dense * 1e6, 3),
                     "dirac_roundtrip_us_per_apply": round(t_dirac * 1e6, 3),
                     "dirac_edges_per_s": round(dirac_nnz / t_dirac, 1),

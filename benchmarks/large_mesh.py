@@ -1,0 +1,155 @@
+"""Large-mesh capability demo: the FAUST trunk far beyond the reference cap.
+
+The reference pins its correspondence pipeline at 7000 vertices
+(dense_correspondence/main.py:193 — full-resolution FAUST scans are
+downsampled to fit the CUDA SpMM + dense-logit memory budget).  This harness
+runs the SAME 15-layer Lap trunk (conv widths, BN, residuals — the
+correspondence/normal flagship body) at 25k-100k vertices on one chip and
+reports per-step time, edges/s, and compiled memory — the single-chip
+capability envelope before graph parallelism is even needed.
+
+Design points that make it work at this scale:
+* BSR/MXU operator after RCM reordering (bandwidth O(sqrt N), so blocks per
+  block-row stay ~constant and the operator stream scales linearly),
+* `remat=True` trunk blocks (stored activations O(1) blocks, not O(layers)),
+* optional `--bf16` (halves the activation stream).
+
+Usage:
+    python benchmarks/large_mesh.py [--n-points 25000 50000] [--layers 15]
+        [--bf16] [--out results/scale/large_mesh.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def run_one(n_points: int, layers: int, channels_unused: int, bf16: bool, iters: int = 4):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from surfacenetworks_tpu import geometry as geo
+    from surfacenetworks_tpu import sparse as sps
+    from surfacenetworks_tpu.data import datasets, round_up
+    from surfacenetworks_tpu.models.correspondence import Model as LapTrunk
+    from surfacenetworks_tpu.train import TrainState, optim
+
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    V, F = datasets.random_blob_mesh(rng, n_points)
+    L = geo.igl_style_laplacian(V, F, hack=1.0).tocsr()
+    perm = sps.rcm_permutation(L)
+    L = L[perm][:, perm].tocsr()
+    coo = L.tocoo()
+    bandwidth = int(np.abs(coo.row - coo.col).max())
+    n_bucket = round_up(L.shape[0], 128)
+    host_s = time.perf_counter() - t0
+
+    bop = sps.stack_bsr_operators(
+        [sps.bsr_operator_from_scipy(L, block_size=128, n_rows=n_bucket, n_cols=n_bucket)]
+    )
+    op_bytes = bop.fwd.block_vals.nbytes + bop.bwd.block_vals.nbytes
+    mask = np.zeros((1, n_bucket, 1), np.float32)
+    mask[0, : L.shape[0]] = 1.0
+    inputs = np.zeros((1, n_bucket, 3), np.float32)
+    inputs[0, : V.shape[0]] = V[perm]
+
+    model = LapTrunk(
+        layers=layers, remat=True, dtype=jnp.bfloat16 if bf16 else None
+    )
+    mask_j, in_j = jnp.asarray(mask), jnp.asarray(inputs)
+    bop = jax.device_put(bop)
+    params = model.init(jax.random.key(0), bop, mask_j, in_j)["params"]
+    state = TrainState.create(params, optim.adam(1e-3))
+
+    def step(state, _):
+        def objective(p):
+            out = model.apply({"params": p}, bop, mask_j, in_j)
+            # masked feature-magnitude regression: a stand-in loss with the
+            # full backward cost of the trunk (no N x N logits, which would
+            # dominate memory at 100k and is a separate scaling axis)
+            return jnp.sum((out * mask_j) ** 2) / jnp.sum(mask_j)
+
+        loss, grads = jax.value_and_grad(objective)(state.params)
+        return state.apply_gradients(grads), loss
+
+    def run(state, n_steps):
+        state, losses_ = jax.lax.scan(step, state, None, length=n_steps)
+        return state, losses_[-1]
+
+    run_jit = jax.jit(run, static_argnums=1)
+    try:
+        mem = run_jit.lower(state, 1).compile().memory_analysis()
+        temp_mb = round(mem.temp_size_in_bytes / 2**20, 1)
+    except Exception:
+        temp_mb = None
+
+    import statistics
+
+    def timed(n):
+        out = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            s, loss = run_jit(state, n)
+            jax.block_until_ready(s.params)
+            out.append(time.perf_counter() - t0)
+        return statistics.median(out), float(loss)
+
+    timed(1)
+    t1, loss1 = timed(1)
+    t5, _ = timed(5)
+    t_step = (t5 - t1) / 4 if (t5 - t1) > 0.2 * t5 else t5 / 5
+    assert np.isfinite(loss1)
+    # edges/s: every layer pair applies L twice per Lap block fwd + twice bwd
+    n_applies = layers // 2 + layers % 2  # Lap blocks (even layers)
+    spmm_per_step = n_applies * 2 * 3  # 2 applies/block, fwd+bwd+remat-replay
+    return {
+        "n_vertices": int(L.shape[0]),
+        "n_bucket": int(n_bucket),
+        "nnz": int(L.nnz),
+        "bandwidth": bandwidth,
+        "layers": layers,
+        "bf16": bf16,
+        "host_preprocess_s": round(host_s, 2),
+        "operator_mb": round(op_bytes / 2**20, 1),
+        "step_ms": round(t_step * 1e3, 3),
+        "spmm_edges_per_s": round(L.nnz * spmm_per_step / t_step, 1),
+        "temp_memory_mb": temp_mb,
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-points", type=int, nargs="+", default=[25000, 50000])
+    ap.add_argument("--layers", type=int, default=15)
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    results = {}
+    for n in args.n_points:
+        results[str(n)] = run_one(n, args.layers, 128, args.bf16)
+        print(json.dumps({str(n): results[str(n)]}))
+    payload = {
+        "harness": "benchmarks/large_mesh.py --n-points "
+        + " ".join(map(str, args.n_points))
+        + (" --bf16" if args.bf16 else ""),
+        "note": (
+            "15-layer Lap trunk (correspondence/normal flagship body) "
+            "fwd+bwd+Adam per step on ONE chip; the reference caps at 7000 "
+            "vertices (dense_correspondence/main.py:193). remat trunk + "
+            "RCM/BSR operator; loss is a masked magnitude stand-in (no NxN "
+            "logit head)."
+        ),
+        "results": results,
+    }
+    if args.out:
+        import os
+
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
