@@ -23,7 +23,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# run as a plain script: resolve the package from the repo root (setting
+# PYTHONPATH instead breaks environments that register TPU backends from
+# sitecustomize)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_one(n_points: int, layers: int, channels_unused: int, bf16: bool, iters: int = 4):
@@ -49,7 +56,12 @@ def run_one(n_points: int, layers: int, channels_unused: int, bf16: bool, iters:
     host_s = time.perf_counter() - t0
 
     bop = sps.stack_bsr_operators(
-        [sps.bsr_operator_from_scipy(L, block_size=128, n_rows=n_bucket, n_cols=n_bucket)]
+        [
+            sps.bsr_operator_from_scipy(
+                L, block_size=128, n_rows=n_bucket, n_cols=n_bucket,
+                dtype=jnp.bfloat16 if bf16 else np.float32,
+            )
+        ]
     )
     op_bytes = bop.fwd.block_vals.nbytes + bop.bwd.block_vals.nbytes
     mask = np.zeros((1, n_bucket, 1), np.float32)
@@ -65,24 +77,27 @@ def run_one(n_points: int, layers: int, channels_unused: int, bf16: bool, iters:
     params = model.init(jax.random.key(0), bop, mask_j, in_j)["params"]
     state = TrainState.create(params, optim.adam(1e-3))
 
-    def step(state, _):
-        def objective(p):
-            out = model.apply({"params": p}, bop, mask_j, in_j)
-            # masked feature-magnitude regression: a stand-in loss with the
-            # full backward cost of the trunk (no N x N logits, which would
-            # dominate memory at 100k and is a separate scaling axis)
-            return jnp.sum((out * mask_j) ** 2) / jnp.sum(mask_j)
+    # operator/inputs are jit ARGUMENTS, not closure constants: a closed-over
+    # 100k-vertex BSR operator would be baked into the HLO as literals
+    # (hundreds of MB of compile payload)
+    def run(state, bop, mask_j, in_j, n_steps):
+        def step(state, _):
+            def objective(p):
+                out = model.apply({"params": p}, bop, mask_j, in_j)
+                # masked feature-magnitude regression: a stand-in loss with
+                # the full backward cost of the trunk (no N x N logits, which
+                # would dominate memory at 100k — a separate scaling axis)
+                return jnp.sum((out * mask_j) ** 2) / jnp.sum(mask_j)
 
-        loss, grads = jax.value_and_grad(objective)(state.params)
-        return state.apply_gradients(grads), loss
+            loss, grads = jax.value_and_grad(objective)(state.params)
+            return state.apply_gradients(grads), loss
 
-    def run(state, n_steps):
         state, losses_ = jax.lax.scan(step, state, None, length=n_steps)
         return state, losses_[-1]
 
-    run_jit = jax.jit(run, static_argnums=1)
+    run_jit = jax.jit(run, static_argnums=4)
     try:
-        mem = run_jit.lower(state, 1).compile().memory_analysis()
+        mem = run_jit.lower(state, bop, mask_j, in_j, 1).compile().memory_analysis()
         temp_mb = round(mem.temp_size_in_bytes / 2**20, 1)
     except Exception:
         temp_mb = None
@@ -93,7 +108,7 @@ def run_one(n_points: int, layers: int, channels_unused: int, bf16: bool, iters:
         out = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            s, loss = run_jit(state, n)
+            s, loss = run_jit(state, bop, mask_j, in_j, n)
             jax.block_until_ready(s.params)
             out.append(time.perf_counter() - t0)
         return statistics.median(out), float(loss)
