@@ -63,6 +63,12 @@ with a measurement).
 
 Falls back to interpreter mode automatically off-TPU so CPU tests exercise
 the same code path.
+
+bf16 and the Dirac roundtrip (measured, r03): bf16 features alone are
+neutral (235.8 vs 238.2 us) and bf16 tables+features are WORSE (258.0 us,
+extra convert traffic) — consistent with the gather-ISSUE-bound model:
+cost scales with gather instruction count, not gathered bytes, so --bf16
+leaves the Dirac apply at the fp32 tables it ships with.
 """
 
 from __future__ import annotations
