@@ -33,7 +33,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_one(n_points: int, layers: int, channels_unused: int, bf16: bool, iters: int = 4):
+def run_one(n_points: int, layers: int, bf16: bool, iters: int = 4):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -146,7 +146,7 @@ if __name__ == "__main__":
 
     results = {}
     for n in args.n_points:
-        results[str(n)] = run_one(n, args.layers, 128, args.bf16)
+        results[str(n)] = run_one(n, args.layers, args.bf16)
         print(json.dumps({str(n): results[str(n)]}))
     payload = {
         "harness": "benchmarks/large_mesh.py --n-points "

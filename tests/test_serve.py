@@ -65,6 +65,20 @@ def test_export_info(setup):
     assert str(inputs.shape[1]) in info["in_avals"][0]
 
 
+def test_export_cli_smoke(tmp_path):
+    """cli.export_model: synthetic mesh -> artifact -> load -> run."""
+    from surfacenetworks_tpu.cli import export_model
+
+    out = str(tmp_path / "m.snx")
+    export_model.main(["--synthetic", "--layer", "2", "--platforms", "cpu", "--out", out])
+    blob = open(out, "rb").read()
+    info = serve.export_info(blob)
+    fn = serve.load(blob)
+    n = int(info["in_avals"][0].split(",")[1])
+    res = fn(jnp.zeros((1, n, 3)))
+    assert res.shape == (1, n, 3) and bool(jnp.all(jnp.isfinite(res)))
+
+
 def test_export_bf16_model(setup):
     """Mixed-precision models export the same way (bf16 compute baked into
     the artifact; fp32 interface)."""
