@@ -162,7 +162,8 @@ def _train_step_time(n_meshes=4, n_points=1000, layers=15, iters=8, bf16=False):
     return diff / 8
 
 
-def _siamese_step_time(n_points=7000, layers=15, channels=128, iters=6, bf16=False):
+def _siamese_step_time(n_points=7000, layers=15, channels=128, iters=6, bf16=False,
+                       streaming=False):
     """Per-step wall time of the FAUST flagship: two 15-layer Lap trunks
     (BSR/MXU operators, RCM order) + the N x N correspondence einsum + dcel
     loss + backward — the workload BASELINE marks for partitioning
@@ -201,8 +202,19 @@ def _siamese_step_time(n_points=7000, layers=15, channels=128, iters=6, bf16=Fal
     params = model.init(jax.random.key(0), opx, opx, in_j, in_j)["params"]
     state = TrainState.create(params, optim.adam(1e-3, weight_decay=1e-5))
 
+    target_j = jnp.argmin(GAB_j, axis=-1)
+
     def step(state, _):
         def objective(p):
+            if streaming:
+                # block-tiled dcel: the [N, N] logits never materialize
+                fa, fb = model.apply(
+                    {"params": p}, opx, opx, in_j, in_j,
+                    method=zoo.SiameseModel.features,
+                )
+                return losses.corr_dcel_streaming(
+                    fa[0].astype(jnp.float32), fb[0].astype(jnp.float32), target_j
+                )
             out = model.apply({"params": p}, opx, opx, in_j, in_j)
             return losses.corr_delta_cross_entropy(out[0], GAB_j)
 
@@ -543,6 +555,7 @@ def main():
     t_faust, faust_temp_mb = _siamese_step_time()
     t_step16 = _train_step_time(bf16=True)
     t_faust16, faust_temp_mb_16 = _siamese_step_time(bf16=True)
+    t_fstream, faust_temp_mb_stream = _siamese_step_time(streaming=True)
 
     best_name, best_t = min(
         [
@@ -590,6 +603,8 @@ def main():
                     "train_step_ms_faust_bf16": round(t_faust16 * 1e3, 3),
                     "faust_step_temp_mb": faust_temp_mb,
                     "faust_step_temp_mb_bf16": faust_temp_mb_16,
+                    "train_step_ms_faust_streaming": round(t_fstream * 1e3, 3),
+                    "faust_step_temp_mb_streaming": faust_temp_mb_stream,
                     "device": str(device),
                 },
             }

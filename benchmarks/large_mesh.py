@@ -33,7 +33,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_one(n_points: int, layers: int, bf16: bool, iters: int = 4):
+def run_one(n_points: int, layers: int, bf16: bool, iters: int = 4, siamese: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -42,7 +42,7 @@ def run_one(n_points: int, layers: int, bf16: bool, iters: int = 4):
     from surfacenetworks_tpu import sparse as sps
     from surfacenetworks_tpu.data import datasets, round_up
     from surfacenetworks_tpu.models.correspondence import Model as LapTrunk
-    from surfacenetworks_tpu.train import TrainState, optim
+    from surfacenetworks_tpu.train import TrainState, losses, optim
 
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
@@ -80,9 +80,23 @@ def run_one(n_points: int, layers: int, bf16: bool, iters: int = 4):
     # operator/inputs are jit ARGUMENTS, not closure constants: a closed-over
     # 100k-vertex BSR operator would be baked into the HLO as literals
     # (hundreds of MB of compile payload)
+    # ``--siamese``: the FULL correspondence step at this scale — the shared
+    # trunk on two poses + the streaming dcel head (the dense N x N logits
+    # would need `4 * N^2` bytes just forward — 2.5 GB at 25k; the tiled head
+    # keeps O(block * N)).  Synthetic second pose + identity target.
+    in_b = jnp.asarray(np.roll(np.asarray(in_j), 1, axis=1)) if siamese else None
+    target = jnp.arange(n_bucket, dtype=jnp.int32) if siamese else None
+
     def run(state, bop, mask_j, in_j, n_steps):
         def step(state, _):
             def objective(p):
+                if siamese:
+                    fa = model.apply({"params": p}, bop, mask_j, in_j)
+                    fb = model.apply({"params": p}, bop, mask_j, in_b)
+                    return losses.streaming_corr_delta_cross_entropy(
+                        fa[0].astype(jnp.float32), fb[0].astype(jnp.float32),
+                        target, 512,
+                    )
                 out = model.apply({"params": p}, bop, mask_j, in_j)
                 # masked feature-magnitude regression: a stand-in loss with
                 # the full backward cost of the trunk (no N x N logits, which
@@ -130,6 +144,7 @@ def run_one(n_points: int, layers: int, bf16: bool, iters: int = 4):
         "bf16": bf16,
         "host_preprocess_s": round(host_s, 2),
         "operator_mb": round(op_bytes / 2**20, 1),
+        "siamese_streaming_head": siamese,
         "step_ms": round(t_step * 1e3, 3),
         "spmm_edges_per_s": round(L.nnz * spmm_per_step / t_step, 1),
         "temp_memory_mb": temp_mb,
@@ -141,12 +156,15 @@ if __name__ == "__main__":
     ap.add_argument("--n-points", type=int, nargs="+", default=[25000, 50000])
     ap.add_argument("--layers", type=int, default=15)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--siamese", action="store_true",
+                    help="full correspondence step: shared trunk on two poses "
+                         "+ streaming dcel head (no N x N logits)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
     results = {}
     for n in args.n_points:
-        results[str(n)] = run_one(n, args.layers, args.bf16)
+        results[str(n)] = run_one(n, args.layers, args.bf16, siamese=args.siamese)
         print(json.dumps({str(n): results[str(n)]}))
     payload = {
         "harness": "benchmarks/large_mesh.py --n-points "

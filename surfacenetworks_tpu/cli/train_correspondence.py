@@ -54,6 +54,10 @@ parser.add_argument("--bf16", action="store_true",
                          "fp32 params, optimizer state and BN statistics")
 parser.add_argument("--operator-format", default="ell", choices=["ell", "bsr"],
                     help="bsr = RCM-reordered MXU block-sparse operators (lap trunks)")
+parser.add_argument("--streaming-head", action="store_true",
+                    help="compute the dcel loss block-wise from the trunk features "
+                         "without materializing the N x N logits (O(block*N) peak "
+                         "memory; dcel only; eval still forms logits for metrics)")
 parser.add_argument("--remat", action="store_true",
                     help="rematerialize trunk blocks in the backward pass (memory for compute)")
 parser.add_argument("--intrinsic", action="store_true",
@@ -235,6 +239,9 @@ def main(argv=None):
                 state = state.replace(opt_state=opt_state)
 
     loss_fn = LOSSES[args.loss]
+    use_stream = bool(args.streaming_head)
+    if use_stream and args.loss != "dcel":
+        raise SystemExit("--streaming-head supports --loss dcel only")
 
     if n_gp:
         def trunk_apply(params, op, mask, x):
@@ -247,17 +254,36 @@ def main(argv=None):
             gmesh, trunk_apply, batch_axis=None
         )
 
+        def features(params, opx, maskx, inx, opy, masky, iny):
+            return (
+                sharded_trunk(params, opx, maskx, inx),
+                sharded_trunk(params, opy, masky, iny),
+            )
+
         def forward(params, opx, maskx, inx, opy, masky, iny):
-            fa = sharded_trunk(params, opx, maskx, inx)
-            fb = sharded_trunk(params, opy, masky, iny)
+            fa, fb = features(params, opx, maskx, inx, opy, masky, iny)
             return jnp.einsum("bnc,bmc->bnm", fa, fb, preferred_element_type=jnp.float32)
     else:
+        def features(params, opx, maskx, inx, opy, masky, iny):
+            return model.apply(
+                {"params": params}, (opx, maskx), (opy, masky), inx, iny,
+                method=SiameseModel.features,
+            )
+
         def forward(params, opx, maskx, inx, opy, masky, iny):
             return model.apply({"params": params}, (opx, maskx), (opy, masky), inx, iny)
 
     @jax.jit
     def train_step(state, opx, maskx, inx, opy, masky, iny, GAB, na, nb):
         def objective(params):
+            if use_stream:
+                fa, fb = features(params, opx, maskx, inx, opy, masky, iny)
+                target = jnp.argmin(GAB, axis=-1)
+                # fp32 logsumexp regardless of --bf16 (the tile matmuls run
+                # at MXU bf16 rate either way via default precision)
+                return losses.corr_dcel_streaming(
+                    fa[0].astype(jnp.float32), fb[0].astype(jnp.float32), target
+                ), ()
             out = forward(params, opx, maskx, inx, opy, masky, iny)
             logits = out[0]
             return loss_fn(logits, GAB), ()

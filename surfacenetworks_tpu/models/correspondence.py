@@ -152,6 +152,16 @@ class SiameseModel(nn.Module):
                 return
         raise ValueError(f"unknown trunk {self.model!r}")
 
+    def features(self, operation_a, operation_b, input_a, input_b):
+        """Both trunks' 120-d embeddings WITHOUT forming the N x N logits —
+        pair with ``train.losses.corr_dcel_streaming`` to keep peak memory
+        O(block * N) instead of O(N^2) (the head wall at 25k+ vertices)."""
+        fa = self.trunk(*operation_a, input_a)
+        fb = self.trunk(*operation_b, input_b)
+        if self.dtype is not None:
+            fa, fb = fa.astype(self.dtype), fb.astype(self.dtype)
+        return fa, fb
+
     def __call__(self, operation_a, operation_b, input_a, input_b):
         fa = self.trunk(*operation_a, input_a)
         fb = self.trunk(*operation_b, input_b)

@@ -13,10 +13,12 @@ Parity map:
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -110,6 +112,115 @@ def corr_delta_cross_entropy(outputs, GAB):
     target = jnp.argmin(GAB, axis=-1)
     logp = jax.nn.log_softmax(outputs, axis=-1)
     return -jnp.mean(jnp.take_along_axis(logp, target[..., None], axis=-1))
+
+
+def _pad_rows_to(a, block):
+    n = a.shape[0]
+    np_ = (n + block - 1) // block * block
+    if np_ == n:
+        return a, n
+    pad = [(0, np_ - n)] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, pad), n
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def streaming_corr_delta_cross_entropy(fa, fb, target, block: int = 512):
+    """dcel loss WITHOUT materializing the ``[N, M]`` logits.
+
+    Numerically equal to ``corr_delta_cross_entropy(fa @ fb.T, GAB)`` with
+    ``target = argmin(GAB, -1)`` (batch=1 semantics: ``fa [N, C]``,
+    ``fb [M, C]``, ``target [N]`` int) — but the logits exist only one
+    ``[block, M]`` tile at a time inside a scan, so peak memory is
+    O(block*M) instead of O(N*M): the full FAUST head at 7k vertices stores
+    205 MB of logits (and its backward several times that); this form
+    removes that wall entirely, which is what lets the correspondence head
+    run at 25k+ vertices (see benchmarks/large_mesh.py).
+
+    The backward recomputes each tile's logits from the saved per-row
+    logsumexp (one extra matmul pass — FLOPs for memory, the standard
+    flash-attention trade; reference contract:
+    dense_correspondence/main.py:229-240).
+    """
+    lse, tlogit, _ = _stream_lse(fa, fb, target, block)
+    return -jnp.mean(tlogit - lse)
+
+
+def _stream_lse(fa, fb, target, block):
+    n = fa.shape[0]
+    fa_p, _ = _pad_rows_to(fa, block)
+    tgt_p, _ = _pad_rows_to(target, block)
+    nb = fa_p.shape[0] // block
+
+    def body(_, blk):
+        fa_b, tgt_b = blk
+        logits = fa_b @ fb.T  # [block, M] — the only live tile
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        tl = jnp.take_along_axis(logits, tgt_b[:, None], axis=-1)[:, 0]
+        return None, (lse, tl)
+
+    _, (lse, tlogit) = jax.lax.scan(
+        body, None, (fa_p.reshape(nb, block, -1), tgt_p.reshape(nb, block))
+    )
+    return lse.reshape(-1)[:n], tlogit.reshape(-1)[:n], n
+
+
+def _sdcel_fwd(fa, fb, target, block):
+    lse, tlogit, n = _stream_lse(fa, fb, target, block)
+    return -jnp.mean(tlogit - lse), (fa, fb, target, lse)
+
+
+def _sdcel_bwd(block, res, g):
+    fa, fb, target, lse = res
+    n = fa.shape[0]
+    scale = g / n  # d(-mean)/drow
+    fa_p, _ = _pad_rows_to(fa, block)
+    tgt_p, _ = _pad_rows_to(target, block)
+    lse_p, _ = _pad_rows_to(lse, block)
+    nb = fa_p.shape[0] // block
+    row_valid = (jnp.arange(fa_p.shape[0]) < n).astype(fa.dtype)
+
+    def body(dfb_acc, blk):
+        fa_b, tgt_b, lse_b, valid_b = blk
+        logits = fa_b @ fb.T
+        p = jnp.exp(logits - lse_b[:, None]) * valid_b[:, None]  # softmax rows
+        # dL/dfa_row = scale * (softmax_row @ fb - fb[target_row])
+        dfa_b = scale * (p @ fb - jnp.take(fb, tgt_b, axis=0) * valid_b[:, None])
+        # dL/dfb accumulates scale * (softmax^T @ fa - scatter(target, fa))
+        dfb_acc = dfb_acc + scale * (p.T @ fa_b)
+        return dfb_acc, dfa_b
+
+    dfb0 = jnp.zeros_like(fb)
+    dfb, dfa = jax.lax.scan(
+        body,
+        dfb0,
+        (
+            fa_p.reshape(nb, block, -1),
+            tgt_p.reshape(nb, block),
+            lse_p.reshape(nb, block),
+            row_valid.reshape(nb, block),
+        ),
+    )
+    dfa = dfa.reshape(-1, fa.shape[-1])[:n]
+    # the -fb[target] term of dfa has a mirror in dfb: -scatter_add(fa at target)
+    dfb = dfb - scale * jax.ops.segment_sum(fa, target, num_segments=fb.shape[0])
+    dtarget = np.zeros(target.shape, dtype=jax.dtypes.float0)
+    return dfa, dfb, dtarget
+
+
+streaming_corr_delta_cross_entropy.defvjp(_sdcel_fwd, _sdcel_bwd)
+
+
+def corr_dcel_streaming(fa, fb, target, block: int = 512):
+    """Batched front-end for :func:`streaming_corr_delta_cross_entropy`:
+    accepts ``[B, N, C]`` features / ``[B, N]`` targets (the trainer's
+    batch=1 layout) or the flat 2-D form.  Equal sample sizes make the
+    mean-of-per-sample-means equal the dense all-rows mean."""
+    if fa.ndim == 3:
+        per = jax.vmap(
+            lambda a, b, t: streaming_corr_delta_cross_entropy(a, b, t, block)
+        )(fa, fb, target)
+        return jnp.mean(per)
+    return streaming_corr_delta_cross_entropy(fa, fb, target, block)
 
 
 def corr_accuracy_metrics(logits, lA, lB, liB, GB, mask_a, mask_b):
