@@ -293,6 +293,18 @@ def main(argv=None):
 
     @jax.jit
     def eval_step(params, opx, maskx, inx, opy, masky, iny, GAB, lA, lB, liB, GB):
+        if use_stream:
+            # eval without the [N, M] score matrix either: streaming argmax
+            # predictions + streaming dcel loss value
+            fa, fb = features(params, opx, maskx, inx, opy, masky, iny)
+            fa0 = fa[0].astype(jnp.float32)
+            fb0 = fb[0].astype(jnp.float32)
+            pred = losses.streaming_corr_argmax(fa0, fb0, masky[0, :, 0])
+            metrics = losses.corr_metrics_from_pred(
+                pred, lA, lB, liB, GB, maskx[0, :, 0]
+            )
+            target = jnp.argmin(GAB, axis=-1)
+            return losses.corr_dcel_streaming(fa0, fb0, target), metrics
         out = forward(params, opx, maskx, inx, opy, masky, iny)
         logits = out[0]
         metrics = losses.corr_accuracy_metrics(

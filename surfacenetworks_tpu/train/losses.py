@@ -223,25 +223,27 @@ def corr_dcel_streaming(fa, fb, target, block: int = 512):
     return streaming_corr_delta_cross_entropy(fa, fb, target, block)
 
 
-def corr_accuracy_metrics(logits, lA, lB, liB, GB, mask_a, mask_b):
-    """FAUST correspondence accuracy of ``argmax`` predictions.
+def streaming_corr_argmax(fa, fb, mask_b, block: int = 512):
+    """``argmax_j <fa_i, fb_j>`` over valid columns, block-tiled: the eval
+    side of the streaming head — predictions for
+    :func:`corr_metrics_from_pred` without the ``[N, M]`` score matrix.
+    ``fa [N, C]``, ``fb [M, C]``, ``mask_b [M]`` -> int32 ``[N]``."""
+    fa_p, n = _pad_rows_to(fa, block)
+    nb = fa_p.shape[0] // block
+    col_ok = mask_b > 0
 
-    The north-star metric the reference reports in the paper (repo logs loss
-    only, dense_correspondence/main.py:330-356): for every valid vertex ``i``
-    of shape A the prediction is ``argmax_j logits[i, j]``; it is *exact*
-    when the predicted vertex carries A's ground-truth label
-    (``lB[pred] == lA[i]``), and its *geodesic error* is the distance on B
-    between the prediction and the ground-truth vertex
-    (``GB[liB[lA[i]], pred]`` — the Princeton / FAUST protocol).
+    def body(_, fa_b):
+        logits = fa_b @ fb.T
+        logits = jnp.where(col_ok[None, :], logits, -jnp.inf)
+        return None, jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    All inputs are padded to the bucket size; ``mask_a/mask_b [N]`` select
-    valid rows / columns.  jit-safe (static shapes, dynamic counts).
+    _, pred = jax.lax.scan(body, None, fa_p.reshape(nb, block, -1))
+    return pred.reshape(-1)[:n]
 
-    Returns dict: exact (fraction), geo_mean, geo_q25/q50/q75 (quantiles of
-    the geodesic-error CDF over valid vertices).
-    """
-    logits = jnp.where(mask_b[None, :] > 0, logits, -jnp.inf)
-    pred = jnp.argmax(logits, axis=-1)  # [N]
+
+def corr_metrics_from_pred(pred, lA, lB, liB, GB, mask_a):
+    """FAUST accuracy metrics from precomputed argmax predictions (shared by
+    the dense and streaming eval paths); see :func:`corr_accuracy_metrics`."""
     gt = liB[lA]  # ground-truth correspondent on B, per A vertex
     valid = mask_a > 0
     nvalid = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
@@ -265,3 +267,25 @@ def corr_accuracy_metrics(logits, lA, lB, liB, GB, mask_a, mask_b):
         "geo_q50": q(0.5),
         "geo_q75": q(0.75),
     }
+
+
+def corr_accuracy_metrics(logits, lA, lB, liB, GB, mask_a, mask_b):
+    """FAUST correspondence accuracy of ``argmax`` predictions.
+
+    The north-star metric the reference reports in the paper (repo logs loss
+    only, dense_correspondence/main.py:330-356): for every valid vertex ``i``
+    of shape A the prediction is ``argmax_j logits[i, j]``; it is *exact*
+    when the predicted vertex carries A's ground-truth label
+    (``lB[pred] == lA[i]``), and its *geodesic error* is the distance on B
+    between the prediction and the ground-truth vertex
+    (``GB[liB[lA[i]], pred]`` — the Princeton / FAUST protocol).
+
+    All inputs are padded to the bucket size; ``mask_a/mask_b [N]`` select
+    valid rows / columns.  jit-safe (static shapes, dynamic counts).
+
+    Returns dict: exact (fraction), geo_mean, geo_q25/q50/q75 (quantiles of
+    the geodesic-error CDF over valid vertices).
+    """
+    logits = jnp.where(mask_b[None, :] > 0, logits, -jnp.inf)
+    pred = jnp.argmax(logits, axis=-1)  # [N]
+    return corr_metrics_from_pred(pred, lA, lB, liB, GB, mask_a)

@@ -53,6 +53,51 @@ def test_streaming_dcel_batched_layout():
     assert abs(float(batched) - float(dense)) < 1e-5
 
 
+def test_streaming_argmax_and_metrics_match_dense():
+    """streaming_corr_argmax + corr_metrics_from_pred == corr_accuracy_metrics
+    on the dense logits (same masked argmax, same quantiles)."""
+    rng = np.random.default_rng(11)
+    N, C = 300, 24
+    fa = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    fb = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    n_valid = 277
+    mask = jnp.asarray((np.arange(N) < n_valid).astype(np.float32))
+    lA = jnp.asarray(rng.integers(0, n_valid, N).astype(np.int32))
+    lB = jnp.asarray(rng.integers(0, n_valid, N).astype(np.int32))
+    liB = jnp.asarray(rng.integers(0, n_valid, N).astype(np.int32))
+    GB = jnp.asarray(rng.uniform(size=(N, N)).astype(np.float32))
+
+    logits = fa @ fb.T
+    dense = losses.corr_accuracy_metrics(logits, lA, lB, liB, GB, mask, mask)
+    pred = losses.streaming_corr_argmax(fa, fb, mask, block=128)
+    stream = losses.corr_metrics_from_pred(pred, lA, lB, liB, GB, mask)
+    for k in dense:
+        np.testing.assert_allclose(
+            np.asarray(dense[k]), np.asarray(stream[k]), rtol=1e-6, err_msg=k
+        )
+
+
+def test_streaming_head_graph_parallel_smoke(tmp_path):
+    """--streaming-head composes with --graph-parallel trunks (features come
+    from the shard_map'd trunk; the head tiles over gathered rows)."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 2:
+        pytest.skip("needs multi-device mesh")
+    from surfacenetworks_tpu.cli import train_correspondence
+
+    train_correspondence.main(
+        [
+            "--synthetic", "3", "--layer", "2", "--num-epoch", "1",
+            "--num-updates", "3", "--num-vertices", "300",
+            "--streaming-head", "--graph-parallel", "2",
+            "--deser-option", "no", "--result-dir", str(tmp_path),
+        ]
+    )
+    log = (tmp_path / "log" / "test.log").read_text()
+    assert "Test epoch 0" in log
+
+
 def test_streaming_head_trainer_smoke(tmp_path):
     """CLI path: --streaming-head trains and the loss falls."""
     from surfacenetworks_tpu.cli import train_correspondence
