@@ -79,6 +79,21 @@ def test_export_cli_smoke(tmp_path):
     assert res.shape == (1, n, 3) and bool(jnp.all(jnp.isfinite(res)))
 
 
+def test_export_cli_dirac(tmp_path):
+    """Dirac models export too (structured quaternion tables baked in)."""
+    from surfacenetworks_tpu.cli import export_model
+
+    out = str(tmp_path / "md.snx")
+    export_model.main(
+        ["--synthetic", "--model", "dirac", "--layer", "2", "--platforms", "cpu", "--out", out]
+    )
+    blob = open(out, "rb").read()
+    fn = serve.load(blob)
+    n = int(serve.export_info(blob)["in_avals"][0].split(",")[1])
+    res = fn(jnp.zeros((1, n, 3)))
+    assert res.shape == (1, n, 3) and bool(jnp.all(jnp.isfinite(res)))
+
+
 def test_export_bf16_model(setup):
     """Mixed-precision models export the same way (bf16 compute baked into
     the artifact; fp32 interface)."""
