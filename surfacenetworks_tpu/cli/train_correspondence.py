@@ -55,9 +55,10 @@ parser.add_argument("--bf16", action="store_true",
 parser.add_argument("--operator-format", default="ell", choices=["ell", "bsr"],
                     help="bsr = RCM-reordered MXU block-sparse operators (lap trunks)")
 parser.add_argument("--streaming-head", action="store_true",
-                    help="compute the dcel loss block-wise from the trunk features "
-                         "without materializing the N x N logits (O(block*N) peak "
-                         "memory; dcel only; eval still forms logits for metrics)")
+                    help="compute the dcel loss AND eval metrics block-wise from "
+                         "the trunk features without materializing the N x N "
+                         "logits (O(block*N) peak memory; dcel only; "
+                         "auto-enabled at --num-vertices >= 16384)")
 parser.add_argument("--remat", action="store_true",
                     help="rematerialize trunk blocks in the backward pass (memory for compute)")
 parser.add_argument("--intrinsic", action="store_true",
@@ -242,6 +243,13 @@ def main(argv=None):
     use_stream = bool(args.streaming_head)
     if use_stream and args.loss != "dcel":
         raise SystemExit("--streaming-head supports --loss dcel only")
+    if not use_stream and args.loss == "dcel" and args.num_vertices >= 16384:
+        # production default: at >=16k vertices the dense [N, N] logits cost
+        # >= 1 GB forward alone — the block-tiled head is strictly better
+        # (equal loss/grads, -26% step time and -37% temp memory measured at
+        # 7k, BENCH r03)
+        use_stream = True
+        log("auto-enabled --streaming-head (num_vertices >= 16384)")
 
     if n_gp:
         def trunk_apply(params, op, mask, x):

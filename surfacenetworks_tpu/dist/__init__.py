@@ -47,3 +47,5 @@ __all__ = [
     "replicated",
     "shard_batch",
 ]
+
+from surfacenetworks_tpu.dist.analysis import check_overlap_structure  # noqa: E402,F401
