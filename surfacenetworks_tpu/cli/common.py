@@ -115,7 +115,6 @@ def log_environment(log):
     train_4_normal.py:106-107)."""
     import platform
 
-    enable_compilation_cache()
     log(f"hostname {platform.node()}")
     log(f"devices {jax.devices()}")
 

@@ -49,7 +49,13 @@ def main(argv=None):
     if args.synthetic or args.mesh is None:
         samples = datasets.synthetic_normal_dataset(1, 120, seed=0, operator=operator)
     else:
-        samples = [datasets.load_normal_sample(args.mesh, operator=operator)]
+        sample = datasets.load_normal_sample(args.mesh, operator=operator)
+        if sample is None:
+            raise SystemExit(
+                f"--mesh {args.mesh}: empty or degenerate mesh (no faces, NaN "
+                "normals, or non-finite operator entries) — cannot export"
+            )
+        samples = [sample]
     buckets = Buckets.for_samples(samples)
     if args.bucket:
         buckets.n_vertices = max(buckets.n_vertices, args.bucket)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from surfacenetworks_tpu import config
-from surfacenetworks_tpu.cli.common import count_params, log_environment, make_logger
+from surfacenetworks_tpu.cli.common import count_params, enable_compilation_cache, log_environment, make_logger
 from surfacenetworks_tpu.data import Buckets, arap_batch, datasets
 from surfacenetworks_tpu.models import arap_models
 from surfacenetworks_tpu.train import TrainState, checkpoint, losses, optim
@@ -75,6 +75,7 @@ def main(argv=None):
     args = config.parse_with_config(parser, argv)
     log = make_logger(args.result_prefix, os.path.join(args.result_dir, "log"))
     log(args)
+    enable_compilation_cache()
     log_environment(log)
 
     sequences = load_sequences(args)

@@ -22,6 +22,7 @@ from surfacenetworks_tpu import config
 from surfacenetworks_tpu.cli.common import (
     add_multihost_flags,
     count_params,
+    enable_compilation_cache,
     log_environment,
     make_logger,
     maybe_initialize_multihost,
@@ -99,6 +100,7 @@ def main(argv=None):
     args = config.parse_with_config(parser, argv)
     log = make_logger(args.result_prefix, os.path.join(args.result_dir, "log"))
     log(args)
+    enable_compilation_cache()
     maybe_initialize_multihost(args, log)
     log_environment(log)
     rng_np = np.random.default_rng(args.seed)

@@ -26,6 +26,7 @@ from surfacenetworks_tpu.cli.common import (
     Throughput,
     add_multihost_flags,
     count_params,
+    enable_compilation_cache,
     log_environment,
     make_logger,
     maybe_initialize_multihost,
@@ -137,6 +138,7 @@ def main(argv=None):
     random.seed(args.seed)
     log = make_logger(args.result_prefix, os.path.join(args.result_dir, "log"), args.debug)
     log(args)
+    enable_compilation_cache()
     maybe_initialize_multihost(args, log)
     log_environment(log)
     if not args.debug:

@@ -16,7 +16,7 @@ import numpy as np
 
 from surfacenetworks_tpu import geometry as geo
 from surfacenetworks_tpu import config
-from surfacenetworks_tpu.cli.common import EpochSampler, count_params, log_environment, make_logger
+from surfacenetworks_tpu.cli.common import EpochSampler, count_params, enable_compilation_cache, log_environment, make_logger
 from surfacenetworks_tpu.data import Buckets, datasets, vae_batch
 from surfacenetworks_tpu.models.vae import DirVAE, LapVAE
 from surfacenetworks_tpu.train import TrainState, checkpoint, losses, optim
@@ -50,6 +50,7 @@ def main(argv=None):
     args = config.parse_with_config(parser, argv)
     log = make_logger(args.result_prefix, os.path.join(args.result_dir, "log"))
     log(args)
+    enable_compilation_cache()
     log_environment(log)
 
     if args.synthetic:

@@ -218,10 +218,11 @@ def load_normal_sample(
     hack: float = 1.0,
     uniform_mesh: bool = False,
 ) -> dict | None:
-    """Load one .obj as a normal-prediction sample (sampler.read_npz parity:
-    target = vertex normals; operator computed on the fly; NaN meshes
-    rejected by returning None)."""
-    V, F = geo.load_obj(obj_path)
+    """Load one .obj/.ply as a normal-prediction sample (sampler.read_npz
+    parity: target = vertex normals; operator computed on the fly; NaN or
+    empty meshes rejected by returning None)."""
+    loader = geo.load_ply if obj_path.lower().endswith(".ply") else geo.load_obj
+    V, F = loader(obj_path)
     if V.size == 0 or F.size == 0:
         return None
     target = geo.vertex_normals(V, F)

@@ -44,7 +44,7 @@ def _walk(jaxpr) -> dict[str, Any]:
     outvars align with inner outvars one-to-one."""
     stats = {"n_ppermute": 0, "interior_indep": 0, "boundary_dep": 0}
 
-    def walk(jp, taint_in: list[bool]) -> list[bool]:
+    def walk(jp, taint_in: list[bool], count: bool = True) -> list[bool]:
         taint: dict[int, bool] = {}
         for v, t in zip(reversed(jp.invars), reversed(taint_in)):
             taint[id(v)] = t
@@ -56,7 +56,8 @@ def _walk(jaxpr) -> dict[str, Any]:
             dep = any(is_t(v) for v in e.invars)
             name = e.primitive.name
             if name in _PERMUTE_PRIMS:
-                stats["n_ppermute"] += 1
+                if count:
+                    stats["n_ppermute"] += 1
                 dep = True  # downstream of the permute waits on it
             sub = None
             for p in e.params.values():
@@ -65,14 +66,30 @@ def _walk(jaxpr) -> dict[str, Any]:
                     sub = inner
                     break
             if sub is not None:
-                out_t = walk(sub, [is_t(v) for v in e.invars])
+                in_t = [is_t(v) for v in e.invars]
+                if name == "scan":
+                    # loop carries feed outvars back into invars across
+                    # iterations — propagate to a fixed point (taint only,
+                    # stats suppressed) so halo taint reaching a carry on
+                    # iteration k also taints its consumers on k+1
+                    nc = e.params.get("num_consts", 0)
+                    ncar = e.params.get("num_carry", 0)
+                    for _ in range(max(ncar, 1)):
+                        out_t = walk(sub, in_t, count=False)
+                        fed = list(in_t)
+                        for i in range(ncar):
+                            fed[nc + i] = fed[nc + i] or out_t[i]
+                        if fed == in_t:
+                            break
+                        in_t = fed
+                out_t = walk(sub, in_t, count=count)
                 for v, t in zip(e.outvars, out_t):
                     taint[id(v)] = t or dep
                 continue
             if dep:
                 for v in e.outvars:
                     taint[id(v)] = True
-            if name in _WORK_PRIMS or name == "scatter":
+            if count and (name in _WORK_PRIMS or name == "scatter"):
                 stats["boundary_dep" if dep else "interior_indep"] += 1
         return [is_t(v) for v in jp.outvars]
 
@@ -84,13 +101,8 @@ def check_overlap_structure(fn, *example_args) -> dict[str, Any]:
     """Trace ``fn`` (typically a ``shard_map``-wrapped partitioned apply)
     and report the interior/boundary dataflow split around its halo
     exchanges.  ``fn`` must be traceable with the given example args inside
-    an active mesh context."""
+    an active mesh context.  The walk recurses into every nested jaxpr
+    (shard_map/pjit/custom_vjp/scan bodies), so no fragile descent into a
+    particular top-level eqn is needed."""
     jaxpr = jax.make_jaxpr(fn)(*example_args)
-    # descend into the shard_map body if present (the apply itself)
-    for e in jaxpr.eqns:
-        if e.primitive.name in ("shard_map", "pjit"):
-            inner = e.params.get("jaxpr")
-            inner = getattr(inner, "jaxpr", inner)
-            if inner is not None and hasattr(inner, "eqns"):
-                return _walk(inner)
     return _walk(jaxpr.jaxpr)

@@ -50,6 +50,8 @@ def export_forward(
     ``example_inputs`` fixes the served bucket shape ``[B, N, Cin]`` (static
     shapes are the serving contract; use the training bucket).  ``platforms``
     defaults to cross-platform ("tpu", "cpu") so one artifact serves both.
+    With ``bake_operator=False`` the per-mesh mask becomes a runtime
+    argument alongside the operator leaves (both are mesh-dependent).
     """
     mask = jnp.asarray(mask)
     example_inputs = jnp.asarray(example_inputs)
@@ -66,15 +68,18 @@ def export_forward(
     else:
         op_leaves, op_treedef = jax.tree_util.tree_flatten(operator)
 
-        def fwd(inputs, *leaves):
+        # the mask is as mesh-dependent as the operator (it drives
+        # global_average and masked BN), so it is a runtime argument too
+        def fwd(inputs, mask_rt, *leaves):
             op = jax.tree_util.tree_unflatten(op_treedef, leaves)
-            return model.apply({"params": params}, op, mask, inputs)
+            return model.apply({"params": params}, op, mask_rt, inputs)
 
         exp = jax_export.export(
             jax.jit(fwd),
             platforms=list(platforms or ("tpu", "cpu")),
         )(
             jax.ShapeDtypeStruct(example_inputs.shape, example_inputs.dtype),
+            jax.ShapeDtypeStruct(mask.shape, mask.dtype),
             *(jax.ShapeDtypeStruct(l.shape, l.dtype) for l in map(jnp.asarray, op_leaves)),
         )
     return bytes(exp.serialize())
@@ -84,8 +89,9 @@ def load(blob: bytes) -> Callable:
     """Deserialize an exported artifact into a jitted callable.
 
     The callable takes exactly the arguments the artifact was exported with
-    (``inputs`` or ``inputs, *operator_leaves``) and runs on whatever
-    platform the current backend provides.
+    (``inputs`` for a baked artifact; ``inputs, mask, *operator_leaves``
+    for ``bake_operator=False``) and runs on whatever platform the current
+    backend provides.
     """
     exp = jax_export.deserialize(blob)
     return jax.jit(exp.call)

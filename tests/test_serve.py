@@ -43,15 +43,31 @@ def test_export_baked_roundtrip(setup):
 
 
 def test_export_runtime_operator(setup):
+    """bake_operator=False: operator AND mask are runtime arguments — one
+    artifact serves every same-bucket mesh, including ones with a different
+    valid-vertex count (the mask drives global_average / masked BN)."""
     model, params, op, mask, inputs = setup
     blob = serve.export_forward(
         model, params, op, mask, inputs, bake_operator=False, platforms=("cpu",)
     )
     fn = serve.load(blob)
     leaves = [jnp.asarray(l) for l in jax.tree_util.tree_leaves(op)]
-    served = fn(inputs, *leaves)
+    served = fn(inputs, mask, *leaves)
     live = model.apply({"params": params}, op, mask, inputs)
     np.testing.assert_allclose(np.asarray(live), np.asarray(served), rtol=5e-2, atol=2e-3)
+
+    # a DIFFERENT mesh in the same bucket: fewer valid vertices, its own
+    # operator — the artifact must honor the new mask, not the export one
+    samples2 = datasets.synthetic_normal_dataset(2, 60, seed=5, operator="lap")
+    buckets2 = Buckets.for_samples(samples2)
+    buckets2.n_vertices = mask.shape[1]  # same served bucket
+    batch2 = laplacian_batch(samples2, buckets2, fmt="ell")
+    op2 = jax.device_put(batch2.operator)
+    mask2, inputs2 = jnp.asarray(batch2.mask), jnp.asarray(batch2.inputs)
+    leaves2 = [jnp.asarray(l) for l in jax.tree_util.tree_leaves(op2)]
+    served2 = fn(inputs2, mask2, *leaves2)
+    live2 = model.apply({"params": params}, op2, mask2, inputs2)
+    np.testing.assert_allclose(np.asarray(live2), np.asarray(served2), rtol=5e-2, atol=2e-3)
 
 
 def test_export_info(setup):
