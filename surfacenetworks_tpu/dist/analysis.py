@@ -59,13 +59,17 @@ def _walk(jaxpr) -> dict[str, Any]:
                 if count:
                     stats["n_ppermute"] += 1
                 dep = True  # downstream of the permute waits on it
-            sub = None
+            # collect EVERY nested jaxpr this eqn carries: single-jaxpr params
+            # (pjit/custom_vjp fun_jaxpr/scan body) and list/tuple params
+            # (cond `branches`) alike — descending into only the first would
+            # drop taint flowing through later branches/sub-jaxprs
+            subs = []
             for p in e.params.values():
-                inner = getattr(p, "jaxpr", p)
-                if hasattr(inner, "eqns"):
-                    sub = inner
-                    break
-            if sub is not None:
+                for cand in (p if isinstance(p, (list, tuple)) else (p,)):
+                    inner = getattr(cand, "jaxpr", cand)
+                    if hasattr(inner, "eqns"):
+                        subs.append(inner)
+            if subs:
                 in_t = [is_t(v) for v in e.invars]
                 if name == "scan":
                     # loop carries feed outvars back into invars across
@@ -75,14 +79,22 @@ def _walk(jaxpr) -> dict[str, Any]:
                     nc = e.params.get("num_consts", 0)
                     ncar = e.params.get("num_carry", 0)
                     for _ in range(max(ncar, 1)):
-                        out_t = walk(sub, in_t, count=False)
+                        out_t = walk(subs[0], in_t, count=False)
                         fed = list(in_t)
                         for i in range(ncar):
                             fed[nc + i] = fed[nc + i] or out_t[i]
                         if fed == in_t:
                             break
                         in_t = fed
-                out_t = walk(sub, in_t, count=count)
+                # OR the outvar taints across all sub-jaxprs (cond: either
+                # branch may execute, so an output is tainted if tainted in
+                # ANY branch; eqn outvars align with inner outvars from the
+                # start in cond/pjit/scan/custom_vjp alike)
+                out_t = [False] * len(e.outvars)
+                for sub in subs:
+                    for i, t in enumerate(walk(sub, in_t, count=count)):
+                        if i < len(out_t):
+                            out_t[i] = out_t[i] or t
                 for v, t in zip(e.outvars, out_t):
                     taint[id(v)] = t or dep
                 continue

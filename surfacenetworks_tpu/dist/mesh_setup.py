@@ -30,11 +30,24 @@ def make_mesh(
 
 def initialize_multihost(coordinator_address: str | None = None, **kwargs) -> None:
     """jax.distributed bootstrap for multi-host slices (DCN across hosts,
-    ICI within a slice).  No-op when already initialized or single-host."""
+    ICI within a slice).
+
+    Only the benign "already initialized" case is swallowed; any genuine
+    misconfiguration (bad coordinator address, inconsistent process counts,
+    unreachable peers) re-raises so a broken launch fails loudly instead of
+    silently degrading to a single-process run."""
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
+    else:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "jax.distributed initialized: process %d/%d, coordinator %s",
+            jax.process_index(), jax.process_count(), coordinator_address,
+        )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

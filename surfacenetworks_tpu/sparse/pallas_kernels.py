@@ -92,6 +92,11 @@ def _on_tpu() -> bool:
 def _bsr_matmul_call(block_cols, block_vals, x, interpret=False):
     nb, kb, bs, _ = block_vals.shape
     c = x.shape[-1]
+    # fp32 activations + fp32 out_shape: parity with _bsr_matmul_xla
+    # (bsr.py), which deliberately returns the fp32 MXU accumulation so
+    # BatchNorm reads unrounded operator results even under --bf16; also
+    # guarantees the store into the fp32 VMEM scratch below is well-typed
+    x = x.astype(jnp.float32)
     # pack blocks row-major: [NB, bs, KB*bs]; loop-invariant, hoisted by XLA
     vals_packed = jnp.swapaxes(block_vals, 1, 2).reshape(nb, bs, kb * bs)
 
@@ -116,7 +121,7 @@ def _bsr_matmul_call(block_cols, block_vals, x, interpret=False):
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nb * bs, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((nb * bs, c), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
