@@ -27,6 +27,64 @@ def make_logger(result_prefix: str, log_dir: str | None, debug: bool = False):
     return log
 
 
+class MetricsLogger:
+    """Per-epoch metrics JSONL + curve PNGs — the headless equivalent of the
+    reference's visdom/plotly live-plot hooks (train_4_normal.py:93-95).
+
+    ``write(epoch, split, **metrics)`` appends one JSON line to
+    ``<log_dir>/<prefix>.metrics.jsonl``; ``plot()`` re-renders
+    ``<prefix>_curves.png`` from the full file (cheap: call it per epoch —
+    the curves update live as training runs, like a visdom window)."""
+
+    def __init__(self, result_prefix: str, log_dir: str | None, debug: bool = False):
+        self.path = None
+        if not debug and log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self.path = os.path.join(log_dir, f"{result_prefix}.metrics.jsonl")
+
+    def write(self, epoch: int, split: str, **metrics) -> None:
+        if self.path is None:
+            return
+        import json
+
+        record = {"epoch": int(epoch), "split": split, "time": time.time()}
+        record.update({k: float(v) for k, v in metrics.items() if v == v})
+        with open(self.path, "a") as fp:
+            fp.write(json.dumps(record) + "\n")
+
+    def plot(self) -> str | None:
+        if self.path is None:
+            return None
+        from surfacenetworks_tpu import viz
+
+        try:
+            return viz.plot_curves(self.path)
+        except Exception:  # rendering must never kill a training run
+            return None
+
+
+class MetricFetcher:
+    """One-step-delayed device-scalar fetch.
+
+    ``float(loss)`` right after a jit dispatch blocks the host on that very
+    step; delaying the fetch by one step lets the host convert step t's
+    metrics while the device runs step t+1, keeping dispatch off the
+    critical path.  ``push`` returns the PREVIOUS step's floats (or None on
+    the first call); ``flush`` drains the final step."""
+
+    def __init__(self):
+        self._pending = None
+
+    def push(self, *device_scalars):
+        prev = self._pending
+        self._pending = device_scalars
+        return tuple(float(x) for x in prev) if prev is not None else None
+
+    def flush(self):
+        prev, self._pending = self._pending, None
+        return tuple(float(x) for x in prev) if prev is not None else None
+
+
 class TieredSampler:
     """Size-tiered batch sampler for multi-bucket padding.
 
@@ -160,6 +218,10 @@ class Throughput:
     def tick(self, items: int = 0):
         self.steps += 1
         self.items += items
+
+    @property
+    def steps_per_s(self) -> float:
+        return self.steps / max(time.perf_counter() - self.t0, 1e-9)
 
     def report(self) -> str:
         dt = max(time.perf_counter() - self.t0, 1e-9)

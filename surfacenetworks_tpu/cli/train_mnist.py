@@ -14,8 +14,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from surfacenetworks_tpu import config
-from surfacenetworks_tpu.cli.common import EpochSampler, count_params, enable_compilation_cache, log_environment, make_logger
-from surfacenetworks_tpu.data import Buckets, datasets, mnist_batch
+from surfacenetworks_tpu.cli.common import (
+    EpochSampler,
+    MetricFetcher,
+    MetricsLogger,
+    count_params,
+    enable_compilation_cache,
+    log_environment,
+    make_logger,
+)
+from surfacenetworks_tpu.data import Buckets, OperatorCache, datasets, mnist_batch, prefetch
 from surfacenetworks_tpu.models import mnist_models
 from surfacenetworks_tpu.train import TrainState, checkpoint, losses, optim
 
@@ -40,6 +48,11 @@ parser.add_argument("--result-dir", default="results/mesh_mnist")
 parser.add_argument("--data-parallel", type=int, default=0,
                     help="shard the mesh batch across this many devices on the "
                          "'data' mesh axis (params replicated; batch size divisible)")
+parser.add_argument("--graph-parallel", type=int, default=0,
+                    help="edge-partition each mesh's operator rows across this many "
+                         "devices on the 'graph' mesh axis (lap and dirac models; "
+                         "mnist meshes are ~300 vertices so this is a symmetry/"
+                         "correctness path, not a throughput one)")
 parser.add_argument("--seed", type=int, default=17)
 config.add_config_flags(parser)
 
@@ -72,14 +85,68 @@ def main(argv=None):
     log_environment(log)
 
     train_data, test_data = load_data(args)
-    buckets = Buckets.for_samples(train_data + test_data)
     model_key = "dirac" if args.model.startswith("dir") else args.model
+    n_gp = args.graph_parallel if args.graph_parallel > 1 else 0
+    if n_gp and model_key not in ("lap", "dirac"):
+        raise SystemExit("--graph-parallel supports the lap and dirac models")
+    if n_gp:
+        from surfacenetworks_tpu.data import rcm_reorder_sample
+
+        train_data = [rcm_reorder_sample(s) for s in train_data]
+        test_data = [rcm_reorder_sample(s) for s in test_data]
+        if model_key == "dirac":
+            from surfacenetworks_tpu.dist import dirac_partition
+
+            for s in train_data + test_data:
+                fperm = dirac_partition.sort_faces_for_partition(s["F"])
+                s["F"] = np.asarray(s["F"])[fperm]
+                s.pop("dirac", None)  # stale coeffs: they bake in face order
+    buckets = Buckets.for_samples(train_data + test_data, multiple=8 * n_gp if n_gp else 8)
     model = MODELS[model_key](layers=args.layer, dtype=jnp.bfloat16 if args.bf16 else None)
+    op_cache = OperatorCache()
 
-    def make_batch(samples):
-        return mnist_batch(samples, buckets, model=model_key)
+    batch_operator = None
+    if n_gp:
+        from surfacenetworks_tpu.dist import (
+            dirac_partition, edge_partition, graph_parallel, make_mesh,
+        )
 
-    b0 = make_batch(train_data[: args.batch_size])
+        gmesh = make_mesh(n_data=1, n_graph=n_gp)
+        all_data = train_data + test_data
+        if model_key == "dirac":
+            from surfacenetworks_tpu import native
+
+            def _coeffs(s):
+                c = s.get("dirac")
+                return c if c is not None else native.dirac_coeffs(s["V"], s["F"])
+
+            pops, floors = graph_parallel.prepartition_dirac(
+                [_coeffs(s) for s in all_data], n_gp,
+                buckets.n_vertices, buckets.n_faces, max_valence=buckets.max_valence,
+            )
+            _pcache = {id(s): o for s, o in zip(all_data, pops)}
+
+            def batch_operator(samples):
+                return dirac_partition.stack_partitioned_dirac(
+                    [_pcache[id(s)] for s in samples], **floors
+                )
+        else:
+            pops, floors = graph_parallel.prepartition_ell(
+                [s["L"] for s in all_data], n_gp,
+                n_rows=buckets.n_vertices, k=buckets.ell_k,
+            )
+            _pcache = {id(s): o for s, o in zip(all_data, pops)}
+
+            def batch_operator(samples):
+                return edge_partition.stack_partitioned(
+                    [_pcache[id(s)] for s in samples], **floors
+                )
+
+    def make_batch(samples, plain=False):
+        op = batch_operator(samples) if (batch_operator and not plain) else None
+        return mnist_batch(samples, buckets, model=model_key, cache=op_cache, operator=op)
+
+    b0 = make_batch(train_data[: args.batch_size], plain=True)
     params = model.init(
         {"params": jax.random.key(0)},
         jnp.asarray(b0.inputs), b0.operator, jnp.asarray(b0.mask), deterministic=True,
@@ -104,7 +171,46 @@ def main(argv=None):
         logp = model.apply({"params": params}, inputs, operator, mask, deterministic=True)
         return losses.nll_loss(logp, targets), losses.accuracy(logp, targets)
 
-    n_dp = args.data_parallel if args.data_parallel > 1 else 0
+    if n_gp:
+        # whole-model graph-sharded execution: per-vertex body row-sharded
+        # over 'graph', psum'd global pooling, replicated classifier head
+        # (the dropout rng rides along replicated so every shard drops the
+        # same pooled features)
+        gp_train_apply = graph_parallel.make_graph_sharded_apply(
+            gmesh,
+            lambda p, op, mk, x, r: model.apply(
+                {"params": p}, x, op, mk, deterministic=False, rngs={"dropout": r}
+            ),
+            out_vertex_sharded=False,
+        )
+        gp_eval_apply = graph_parallel.make_graph_sharded_apply(
+            gmesh,
+            lambda p, op, mk, x: model.apply({"params": p}, x, op, mk, deterministic=True),
+            out_vertex_sharded=False,
+        )
+
+        @jax.jit
+        def gp_train_step(state, rng_, operator, inputs, mask, targets):
+            def objective(params):
+                logp = gp_train_apply(params, operator, mask, inputs, rng_)
+                return losses.nll_loss(logp, targets), losses.accuracy(logp, targets)
+
+            (loss, acc), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
+            return state.apply_gradients(grads), loss, acc
+
+        @jax.jit
+        def gp_eval_step(params, operator, inputs, mask, targets):
+            logp = gp_eval_apply(params, operator, mask, inputs)
+            return losses.nll_loss(logp, targets), losses.accuracy(logp, targets)
+
+        def gp_place(b):
+            op_d, arrs = graph_parallel.place_graph_batch(
+                gmesh, b.operator,
+                {"inputs": np.asarray(b.inputs), "mask": np.asarray(b.mask)},
+            )
+            return op_d, arrs
+
+    n_dp = args.data_parallel if (args.data_parallel > 1 and not n_gp) else 0
     if n_dp:
         if args.batch_size % n_dp:
             raise SystemExit(f"batch size {args.batch_size} not divisible by --data-parallel {n_dp}")
@@ -125,6 +231,11 @@ def main(argv=None):
         dp_step = make_dp_train_step(dp_apply, dp_loss, dmesh, donate=False)
 
     def run_train_step(state, sub, b):
+        if n_gp:
+            op_d, arrs = gp_place(b)
+            return gp_train_step(
+                state, sub, op_d, arrs["inputs"], arrs["mask"], jnp.asarray(b.targets)
+            )
         if n_dp:
             sb = shard_batch(dmesh, {
                 "operator": b.operator, "inputs": jnp.asarray(b.inputs),
@@ -143,16 +254,29 @@ def main(argv=None):
     test_sampler = EpochSampler(test_data, args.batch_size, shuffle=False)
     steps_per_epoch = max(len(train_data) // args.batch_size, 1)
     test_steps = max(len(test_data) // args.batch_size, 1)
+    metrics_log = MetricsLogger(args.result_prefix, os.path.join(args.result_dir, "log"))
 
     for epoch in range(args.num_epoch):
         loss_sum = acc_sum = 0.0
-        for _ in range(steps_per_epoch):
+        fetch = MetricFetcher()
+
+        def accum(vals):
+            nonlocal loss_sum, acc_sum
+            if vals is not None:
+                loss_sum += vals[0]
+                acc_sum += vals[1]
+
+        for b in prefetch(
+            lambda _i: make_batch(train_sampler.next_batch()), steps_per_epoch
+        ):
             rng, sub = jax.random.split(rng)
-            b = make_batch(train_sampler.next_batch())
             state, loss, acc = run_train_step(state, sub, b)
-            loss_sum += float(loss)
-            acc_sum += float(acc)
+            accum(fetch.push(loss, acc))
+        accum(fetch.flush())
         log(f"Train epoch {epoch}, loss {loss_sum / steps_per_epoch}, acc {acc_sum / steps_per_epoch}")
+        metrics_log.write(
+            epoch, "train", loss=loss_sum / steps_per_epoch, acc=acc_sum / steps_per_epoch
+        )
 
         if epoch > 20 and epoch % 10 == 0:
             pass  # LR halving folded into optimizer schedule when requested
@@ -160,13 +284,23 @@ def main(argv=None):
         loss_sum = acc_sum = 0.0
         for _ in range(test_steps):
             b = make_batch(test_sampler.next_batch())
-            loss, acc = eval_step(
-                state.params, b.operator, jnp.asarray(b.inputs), jnp.asarray(b.mask),
-                jnp.asarray(b.targets),
-            )
+            if n_gp:
+                op_d, arrs = gp_place(b)
+                loss, acc = gp_eval_step(
+                    state.params, op_d, arrs["inputs"], arrs["mask"], jnp.asarray(b.targets)
+                )
+            else:
+                loss, acc = eval_step(
+                    state.params, b.operator, jnp.asarray(b.inputs), jnp.asarray(b.mask),
+                    jnp.asarray(b.targets),
+                )
             loss_sum += float(loss)
             acc_sum += float(acc)
         log(f"Test epoch {epoch}, loss {loss_sum / test_steps}, acc {acc_sum / test_steps}")
+        metrics_log.write(
+            epoch, "test", loss=loss_sum / test_steps, acc=acc_sum / test_steps
+        )
+        metrics_log.plot()
         checkpoint.save_checkpoint(
             os.path.join(args.result_dir, "pts", f"{args.result_prefix}.msgpack"),
             state.params, state.opt_state, epoch, int(state.step),

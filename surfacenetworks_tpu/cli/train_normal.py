@@ -23,6 +23,7 @@ from surfacenetworks_tpu import config
 from surfacenetworks_tpu import models as zoo
 from surfacenetworks_tpu.cli.common import (
     EpochSampler,
+    MetricsLogger,
     Throughput,
     add_multihost_flags,
     count_params,
@@ -31,7 +32,18 @@ from surfacenetworks_tpu.cli.common import (
     make_logger,
     maybe_initialize_multihost,
 )
-from surfacenetworks_tpu.data import Buckets, datasets, dirac_batch, laplacian_batch, rcm_reorder_sample, round_up
+from surfacenetworks_tpu.data import (
+    Buckets,
+    MetricAccumulator,
+    OperatorCache,
+    choose_operator_format,
+    datasets,
+    dirac_batch,
+    laplacian_batch,
+    prefetch_over,
+    rcm_reorder_sample,
+    round_up,
+)
 from surfacenetworks_tpu.train import TrainState, checkpoint, losses, optim
 
 parser = argparse.ArgumentParser(description="Normal Predictor (TPU)")
@@ -151,6 +163,15 @@ def main(argv=None):
 
     is_dirac = args.model.startswith("dirac")
     n_gp = args.graph_parallel if args.graph_parallel > 1 else 0
+    if args.operator_format == "auto" and args.model == "lap" and not n_gp:
+        # resolve 'auto' against the DATASET shape so the BSR/MXU fast path
+        # (13x the ELL fallback at FAUST scale) is the default, not opt-in:
+        # lap models above the dense window get RCM-reordered BSR operators
+        nv_all = max((s["V"].shape[0] for s in train_samples + test_samples), default=0)
+        args.operator_format = choose_operator_format(
+            args.batch_size, round_up(nv_all, 8), rcm_ok=True
+        )
+        log(f"operator format auto -> {args.operator_format}")
     gp_interior = "ell"
     gp_dp = args.data_parallel if (n_gp and args.data_parallel > 1) else 0
     if n_gp:
@@ -179,9 +200,9 @@ def main(argv=None):
 
     all_samples = train_samples + test_samples
     n_tiers = max(args.buckets, 1)
-    if n_tiers > 1 and (n_gp or args.model == "cas" or args.operator_format == "bsr"):
-        raise SystemExit("--buckets > 1 supports ell/auto/dense formats without "
-                         "--graph-parallel / cascade")
+    if n_tiers > 1 and args.model == "cas":
+        raise SystemExit("--buckets > 1 does not support the cascade model "
+                         "(one pyramid bucket chain per run)")
     from surfacenetworks_tpu.data import BucketSet
 
     bucketset = BucketSet.for_samples(
@@ -191,9 +212,14 @@ def main(argv=None):
             (128 if gp_interior == "bsr" else 8) * n_gp if n_gp else 8
         ),
     )
-    buckets = bucketset.tiers[-1]  # dataset-max tier (cascade/gp/init paths)
+    buckets = bucketset.tiers[-1]  # dataset-max tier (cascade/init paths)
     if len(bucketset.tiers) > 1:
         log(f"bucket tiers: {[(b.n_vertices, b.n_faces) for b in bucketset.tiers]}")
+    # pack-once operator cache: every sample's operator is converted to its
+    # device format exactly once per tier and reused across all epochs (the
+    # reference preloads once, train_4_normal.py:195-218; round-3 trainers
+    # re-packed from scipy every step and ran >90% host-bound)
+    op_cache = OperatorCache()
     if args.model == "cas":
         # fine bucket must be divisible by 2**(levels-1) for the pool chain
         from surfacenetworks_tpu.data import cascade_batch
@@ -201,13 +227,15 @@ def main(argv=None):
         n_bucket = round_up(buckets.n_vertices, 2 ** (args.cascade_levels - 1))
 
         def make_batch(samples):
-            return cascade_batch(samples, args.cascade_levels, n_bucket)
+            return cascade_batch(samples, args.cascade_levels, n_bucket, cache=op_cache)
     else:
         batch_operator = None
         if n_gp:
-            # Pre-partition every sample once (shared dataset-wide halos and
-            # boundary widths -> one jit compilation across batches); per
-            # batch, stack the cached per-mesh partitions.
+            # Pre-partition every sample once AT ITS OWN TIER's row count
+            # (shared per-tier halos and boundary floors -> one jit
+            # compilation per tier); per batch, stack the cached per-mesh
+            # partitions.  n_tiers == 1 degenerates to the dataset-wide
+            # single-compilation layout.
             from surfacenetworks_tpu.dist import (
                 dirac_partition, edge_partition, graph_parallel, make_mesh,
             )
@@ -216,7 +244,6 @@ def main(argv=None):
             # 'graph' (the dryrun-proven ('data','graph') layout, now a
             # trainer capability)
             gmesh = make_mesh(n_data=max(gp_dp, 1), n_graph=n_gp)
-            N = buckets.n_vertices
             if is_dirac:
                 from surfacenetworks_tpu import native
 
@@ -224,38 +251,46 @@ def main(argv=None):
                     c = s.get("dirac")
                     return c if c is not None else native.dirac_coeffs(s["V"], s["F"])
 
-                pops, floors = graph_parallel.prepartition_dirac(
-                    [_coeffs(s) for s in all_samples], n_gp, N, buckets.n_faces,
-                    max_valence=buckets.max_valence,
-                )
-                _pcache = {id(s): o for s, o in zip(all_samples, pops)}
-
-                def batch_operator(samples):
-                    return dirac_partition.stack_partitioned_dirac(
-                        [_pcache[id(s)] for s in samples], **floors
+            _pcache: dict = {}
+            _tier_floors: list = []
+            for ti, tb in enumerate(bucketset.tiers):
+                tier_samples = [
+                    s for s in all_samples if bucketset.tier_index([s]) == ti
+                ]
+                if not tier_samples:
+                    _tier_floors.append(None)
+                    continue
+                if is_dirac:
+                    pops, floors = graph_parallel.prepartition_dirac(
+                        [_coeffs(s) for s in tier_samples], n_gp,
+                        tb.n_vertices, tb.n_faces, max_valence=tb.max_valence,
                     )
-            else:
-                pops, floors = graph_parallel.prepartition_ell(
-                    [s["L"] for s in all_samples], n_gp, n_rows=N,
-                    k=buckets.ell_k, interior_fmt=gp_interior,
-                )
-                _pcache = {id(s): o for s, o in zip(all_samples, pops)}
-
-                def batch_operator(samples):
-                    return edge_partition.stack_partitioned(
-                        [_pcache[id(s)] for s in samples], **floors
+                else:
+                    pops, floors = graph_parallel.prepartition_ell(
+                        [s["L"] for s in tier_samples], n_gp,
+                        n_rows=tb.n_vertices, k=tb.ell_k, interior_fmt=gp_interior,
                     )
+                _tier_floors.append(floors)
+                _pcache.update({id(s): o for s, o in zip(tier_samples, pops)})
+
+            def batch_operator(samples):
+                floors = _tier_floors[bucketset.tier_index(samples)]
+                pops = [_pcache[id(s)] for s in samples]
+                if is_dirac:
+                    return dirac_partition.stack_partitioned_dirac(pops, **floors)
+                return edge_partition.stack_partitioned(pops, **floors)
 
         def make_batch(samples, plain=False):
             op = batch_operator(samples) if (batch_operator and not plain) else None
             b = bucketset.select(samples) if len(bucketset.tiers) > 1 else buckets
             if is_dirac:
-                return dirac_batch(samples, b, operator=op)
+                return dirac_batch(samples, b, operator=op, cache=op_cache)
             return laplacian_batch(
                 samples, b, fmt=args.operator_format, operator=op,
                 op_dtype=jnp.bfloat16
                 if (args.bf16 and args.operator_format == "bsr")
                 else None,
+                cache=op_cache,
             )
 
     model = build_model(args)
@@ -356,6 +391,10 @@ def main(argv=None):
         return op_d, arrs
 
     def run_train_step(state, batch):
+        from surfacenetworks_tpu.data import IndexedBatch
+
+        if isinstance(batch, IndexedBatch):
+            return train_step_idx(state, batch.tree, batch.idx)
         if n_dp:
             b = shard_batch(dmesh, {
                 "operator": batch.operator,
@@ -398,6 +437,54 @@ def main(argv=None):
         train_sampler = EpochSampler(train_samples, args.batch_size, seed=args.seed)
         test_sampler = EpochSampler(test_samples, args.batch_size, shuffle=False)
 
+    # Whole-dataset device residency (single-device path): every sample's
+    # packed batch uploads once as stacked [S, ...] arrays; a training batch
+    # is an [B]-index gather fused INSIDE the jit'd step, so steady-state
+    # steps ship only the index vector.  One dataset per bucket tier (tier
+    # shapes differ).  DP/GP paths keep the host route (their placement is
+    # sharding-specific).
+    store_tiers = None
+    if not (n_gp or n_dp):
+        from surfacenetworks_tpu.data import DeviceDataset
+
+        store_tiers = {}
+        for ti in range(len(bucketset.tiers)):
+            tier_samples = [
+                s for s in all_samples if bucketset.tier_index([s]) == ti
+            ] if len(bucketset.tiers) > 1 else all_samples
+            if not tier_samples:
+                continue
+            ds = DeviceDataset.build(tier_samples, lambda s: make_batch([s]))
+            if ds is None:  # over the HBM budget: keep the host path
+                store_tiers = None
+                break
+            store_tiers[ti] = ds
+
+    def batch_fn(samples):
+        if store_tiers is None:
+            return make_batch(samples)
+        ti = bucketset.tier_index(samples) if len(bucketset.tiers) > 1 else 0
+        return store_tiers[ti].batch(samples)
+
+    from surfacenetworks_tpu.data import IndexedBatch, padded_vertex_count
+
+    @jax.jit
+    def train_step_idx(state, tree, idx, sums):
+        # batch gather AND metric accumulation fused into the step's single
+        # executable: a steady-state step is exactly one dispatch, no tiny
+        # eager adds (each would cost a separate device launch)
+        b = IndexedBatch.gather(tree, idx)
+        new_state, loss, mad = train_step(
+            state, b["operator"], b["mask"], b["inputs"], b["targets"]
+        )
+        return new_state, (sums[0] + loss, sums[1] + mad)
+
+    @jax.jit
+    def eval_step_idx(params, tree, idx):
+        b = IndexedBatch.gather(tree, idx)
+        return eval_step(params, b["operator"], b["mask"], b["inputs"], b["targets"])
+
+    metrics_log = MetricsLogger(args.result_prefix, os.path.join(args.result_dir, "log"), args.debug)
     profiling = False
     for epoch in range(start_epoch, args.num_epoch):
         if args.jax_profile and epoch == start_epoch and not args.only_forward_test:
@@ -405,20 +492,48 @@ def main(argv=None):
             profiling = True
         if not args.only_forward_test:
             meter = Throughput()
-            loss_sum = mad_sum = 0.0
-            for _ in range(args.num_updates):
-                batch = make_batch(train_sampler.next_batch())
-                state, loss, mad = run_train_step(state, batch)
-                loss_sum += float(loss)
-                mad_sum += float(mad)
-                if not np.isfinite(loss_sum):
-                    raise FloatingPointError(f"NaN loss at epoch {epoch}")
-                meter.tick(batch.inputs.shape[0] * batch.inputs.shape[1])
+            if store_tiers is not None:
+                # Device-dataset path: batch assembly is a 0.1 ms index
+                # lookup (no prefetch thread — it would only add GIL handoff
+                # latency) and the metric sums ride INSIDE the step's
+                # executable, so a steady-state step is one dispatch and the
+                # epoch costs one device sync at the end.
+                sums = (jnp.float32(0), jnp.float32(0))
+                for u in range(args.num_updates):
+                    batch = batch_fn(train_sampler.next_batch())
+                    state, sums = train_step_idx(state, batch.tree, batch.idx, sums)
+                    if u % 64 == 63:
+                        # bound dispatch-ahead depth; a readiness check is a
+                        # full device round trip, so sync sparsely
+                        jax.block_until_ready(sums[0])
+                    meter.tick(padded_vertex_count(batch))
+                loss_sum, mad_sum = (float(s) for s in sums)
+            else:
+                # host path (DP/GP): batch t+1 assembles on a background
+                # thread while the device runs step t; metrics accumulate on
+                # device with one fetch per epoch
+                acc = MetricAccumulator()
+                for batch in prefetch_over(train_sampler, batch_fn, args.num_updates):
+                    state, loss, mad = run_train_step(state, batch)
+                    acc.add(loss, mad)
+                    meter.tick(padded_vertex_count(batch))
+                loss_sum, mad_sum = acc.sums()
+            if not np.isfinite(loss_sum):
+                raise FloatingPointError(f"NaN loss at epoch {epoch}")
             log(
                 "Train {}, loss {}, mad {}, {}".format(
                     epoch, loss_sum / args.num_updates, mad_sum / args.num_updates, meter.report()
                 )
             )
+            metrics_log.write(
+                epoch, "train", loss=loss_sum / args.num_updates,
+                mad=mad_sum / args.num_updates, steps_per_s=meter.steps_per_s,
+            )
+            if epoch == start_epoch:
+                log(
+                    " + ".join(d.stats() for d in store_tiers.values())
+                    if store_tiers else op_cache.stats()
+                )
             if profiling:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
@@ -429,8 +544,10 @@ def main(argv=None):
             trials = max(int(np.ceil(len(test_samples) / args.batch_size)), 1)
             loss_sum = mad_sum = 0.0
             for _ in range(trials):
-                batch = make_batch(test_sampler.next_batch())
-                if n_gp:
+                batch = batch_fn(test_sampler.next_batch())
+                if isinstance(batch, IndexedBatch):
+                    loss, mad, out = eval_step_idx(state.params, batch.tree, batch.idx)
+                elif n_gp:
                     op_d, arrs = gp_place(batch)
                     loss, mad, out = eval_step(
                         state.params, op_d, arrs["mask"], arrs["inputs"], arrs["targets"]
@@ -455,7 +572,9 @@ def main(argv=None):
                             delimiter=",",
                         )
             log("Eval {}, loss {}, mad {}".format(epoch, loss_sum / trials, mad_sum / trials))
+            metrics_log.write(epoch, "test", loss=loss_sum / trials, mad=mad_sum / trials)
 
+        metrics_log.plot()
         if args.only_forward_test:
             return
         if epoch % 10 == 9 and not args.debug:

@@ -16,8 +16,16 @@ import numpy as np
 
 from surfacenetworks_tpu import geometry as geo
 from surfacenetworks_tpu import config
-from surfacenetworks_tpu.cli.common import EpochSampler, count_params, enable_compilation_cache, log_environment, make_logger
-from surfacenetworks_tpu.data import Buckets, datasets, vae_batch
+from surfacenetworks_tpu.cli.common import (
+    EpochSampler,
+    MetricFetcher,
+    MetricsLogger,
+    count_params,
+    enable_compilation_cache,
+    log_environment,
+    make_logger,
+)
+from surfacenetworks_tpu.data import Buckets, OperatorCache, datasets, prefetch_over, vae_batch
 from surfacenetworks_tpu.models.vae import DirVAE, LapVAE
 from surfacenetworks_tpu.train import TrainState, checkpoint, losses, optim
 
@@ -119,11 +127,16 @@ def main(argv=None):
                 _stack([_fc[id(s)] for s in samples], **f_floors),
             )
 
+    op_cache = OperatorCache()
+
     def make_batch(samples, plain=False):
         if batch_ops and not plain:
             op, fop = batch_ops(samples)
-            return vae_batch(samples, buckets, model=model_key, operator=op, flat_operator=fop)
-        return vae_batch(samples, buckets, model=model_key)
+            return vae_batch(
+                samples, buckets, model=model_key, operator=op, flat_operator=fop,
+                cache=op_cache,
+            )
+        return vae_batch(samples, buckets, model=model_key, cache=op_cache)
 
     b0 = make_batch(train_data[: args.batch_size], plain=bool(n_gp))
 
@@ -231,16 +244,25 @@ def main(argv=None):
     steps = max(len(train_data) // args.batch_size, 1)
     test_steps = max(len(test_data) // args.batch_size, 1)
 
+    metrics_log = MetricsLogger(args.result_prefix, os.path.join(args.result_dir, "log"))
     for epoch in range(args.num_epoch):
         tl = tb = tk = 0.0
-        for _ in range(steps):
+        fetch = MetricFetcher()
+
+        def accum(vals):
+            nonlocal tl, tb, tk
+            if vals is not None:
+                tl += vals[0]; tb += vals[1]; tk += vals[2]
+
+        kw = jnp.asarray(min(epoch / 10.0, 1.0), jnp.float32)
+        for b in prefetch_over(train_sampler, make_batch, steps):
             rng, sub = jax.random.split(rng)
-            b = make_batch(train_sampler.next_batch())
             x, fx, op, fop, mask = unpack(b)
-            kw = jnp.asarray(min(epoch / 10.0, 1.0), jnp.float32)
             state, loss, bce, kld, recon = run_train_step(state, sub, x, fx, op, fop, mask, kw)
-            tl += float(loss); tb += float(bce); tk += float(kld)
+            accum(fetch.push(loss, bce, kld))
+        accum(fetch.flush())
         log(f"Train epoch {epoch}, loss {tl/steps}, bce {tb/steps}, kld {tk/steps}")
+        metrics_log.write(epoch, "train", loss=tl / steps, bce=tb / steps, kld=tk / steps)
 
         tl = tb = tk = 0.0
         for _ in range(test_steps):
@@ -252,6 +274,10 @@ def main(argv=None):
             )
             tl += float(loss); tb += float(bce); tk += float(kld)
         log(f"Test epoch {epoch}, loss {tl/test_steps}, bce {tb/test_steps}, kld {tk/test_steps}")
+        metrics_log.write(
+            epoch, "test", loss=tl / test_steps, bce=tb / test_steps, kld=tk / test_steps
+        )
+        metrics_log.plot()
 
         if args.dump_ply:
             # generative decode uses plain operators (single-device path)

@@ -247,20 +247,82 @@ def rcm_reorder_sample(sample: dict) -> dict:
     return out
 
 
-def choose_operator_format(batch_size: int, n_vertices: int) -> str:
+def choose_operator_format(
+    batch_size: int, n_vertices: int, rcm_ok: bool = False
+) -> str:
     """Pick the fastest operator representation for a bucket shape.
 
     Measured on TPU v5e (LapDeepModel-15 train step, B=4, N=1008): the dense
     [B, N, N] MXU path is ~11x faster than the ELL gather path — TPUs are
     dense-matmul machines and mesh buckets up to a couple thousand vertices
     cost less as dense operators than as gathers.  Dense is chosen whenever
-    the batched operator fits a modest memory budget; larger buckets fall
-    back to ELL (callers that RCM-reorder can opt into ``'bsr'`` instead).
+    the batched operator fits a modest memory budget.
+
+    Above the dense window, ``rcm_ok=True`` (the caller can RCM-reorder its
+    samples and size buckets to 128 multiples — every trainer can) selects
+    the BSR/MXU block-sparse path: at FAUST scale it measures ~14x faster
+    than the ELL gather fallback (20 vs 278 us/apply, BENCH r03).  Callers
+    that cannot reorder fall back to ELL, which handles any operator.
     """
     dense_bytes = batch_size * n_vertices * n_vertices * 4
     if n_vertices <= 2048 and dense_bytes <= 128 * 1024 * 1024:
         return "dense"
+    if rcm_ok:
+        return "bsr"
     return "ell"
+
+
+def _bsr_sample_operator(L, buckets: Buckets, N: int, op_dtype=None, cache=None):
+    """Per-sample BSR operator, packed once per (L, shape, dtype) when a
+    pipeline.OperatorCache is supplied."""
+    from surfacenetworks_tpu.sparse import bsr_operator_from_scipy
+
+    def build():
+        return bsr_operator_from_scipy(
+            L, block_size=buckets.bsr_block, k=buckets.bsr_k, n_rows=N, n_cols=N,
+            **({"dtype": op_dtype} if op_dtype is not None else {}),
+        )
+
+    if cache is None:
+        return build()
+    key = ("bsr", N, buckets.bsr_block, buckets.bsr_k, str(op_dtype))
+    return cache.get((L,), key, build)
+
+
+def _dense_sample_operator(L, N: int, cache=None) -> np.ndarray:
+    """Per-sample zero-padded dense [N, N] operator (cached: the todense +
+    pad is the dominant host cost of the dense format)."""
+
+    def build():
+        out = np.zeros((N, N), dtype=np.float32)
+        Ld = np.asarray(L.todense(), dtype=np.float32)
+        out[: Ld.shape[0], : Ld.shape[1]] = Ld
+        return out
+
+    if cache is None:
+        return build()
+    return cache.get((L,), ("dense", N), build)
+
+
+def _dirac_sample_operator(
+    s: dict, buckets: Buckets, N: int, M: int, key: str = "dirac", cache=None
+):
+    """Per-sample packed Dirac tables; caches the coefficient computation
+    AND the table packing.  Owners: the coeff object when precomputed, the
+    (V, F) arrays otherwise."""
+
+    def build():
+        return dirac_from_coeffs(
+            _dirac_coeffs_of(s, key), n_vertices=N, n_faces=M,
+            max_valence=buckets.max_valence, **buckets.dirac_kwargs(),
+        )
+
+    if cache is None:
+        return build()
+    coeffs = s.get(key)
+    owners = (coeffs,) if coeffs is not None else (s["V"], s["F"])
+    ck = (key, N, M, buckets.max_valence, buckets.dirac_base_valence, buckets.dirac_overflow)
+    return cache.get(owners, ck, build)
 
 
 def laplacian_batch(
@@ -271,6 +333,7 @@ def laplacian_batch(
     fmt: str = "ell",
     operator=None,
     op_dtype=None,
+    cache=None,
 ) -> MeshBatch:
     """Assemble a Laplacian-operator batch from per-mesh sample dicts.
 
@@ -282,7 +345,8 @@ def laplacian_batch(
     graph-parallel PartitionedOperator).  ``op_dtype`` (BSR only) stores the
     packed blocks at a narrower dtype — ``jnp.bfloat16`` halves the apply's
     dominant HBM stream at numerics identical to the MXU's default
-    fp32-input rounding.
+    fp32-input rounding.  ``cache`` (a pipeline.OperatorCache) packs each
+    sample's operator once and reuses it across epochs.
     """
     B = len(samples)
     N = buckets.n_vertices
@@ -296,29 +360,17 @@ def laplacian_batch(
     if operator is not None:
         pass
     elif fmt == "ell":
-        operator = stack_operators([_fixed_k_operator(s["L"], buckets, N) for s in samples])
+        operator = stack_operators(
+            [_fixed_k_operator(s["L"], buckets, N, cache=cache) for s in samples]
+        )
     elif fmt == "bsr":
-        from surfacenetworks_tpu.sparse import bsr_operator_from_scipy, stack_bsr_operators
+        from surfacenetworks_tpu.sparse import stack_bsr_operators
 
         operator = stack_bsr_operators(
-            [
-                bsr_operator_from_scipy(
-                    s["L"],
-                    block_size=buckets.bsr_block,
-                    k=buckets.bsr_k,
-                    n_rows=N,
-                    n_cols=N,
-                    **({"dtype": op_dtype} if op_dtype is not None else {}),
-                )
-                for s in samples
-            ]
+            [_bsr_sample_operator(s["L"], buckets, N, op_dtype, cache=cache) for s in samples]
         )
     elif fmt == "dense":
-        dense = np.zeros((B, N, N), dtype=np.float32)
-        for b, s in enumerate(samples):
-            Ld = np.asarray(s["L"].todense(), dtype=np.float32)
-            dense[b, : Ld.shape[0], : Ld.shape[1]] = Ld
-        operator = dense
+        operator = np.stack([_dense_sample_operator(s["L"], N, cache=cache) for s in samples])
     else:
         raise ValueError(f"unknown operator format {fmt!r}")
     faces = _pad_faces(samples, buckets)
@@ -332,20 +384,22 @@ def laplacian_batch(
     )
 
 
-def _lap_operator_batch(Ls: list, buckets: Buckets, N: int, fmt: str = "auto"):
+def _lap_operator_batch(Ls: list, buckets: Buckets, N: int, fmt: str = "auto", cache=None):
     """Stacked Laplacian operator batch in the chosen (or auto) format."""
     if fmt == "auto":
         fmt = choose_operator_format(len(Ls), N)
+    if fmt == "bsr":
+        from surfacenetworks_tpu.sparse import stack_bsr_operators
+
+        return stack_bsr_operators(
+            [_bsr_sample_operator(L, buckets, N, cache=cache) for L in Ls]
+        )
     if fmt == "dense":
-        dense = np.zeros((len(Ls), N, N), dtype=np.float32)
-        for b, L in enumerate(Ls):
-            Ld = np.asarray(L.todense(), dtype=np.float32)
-            dense[b, : Ld.shape[0], : Ld.shape[1]] = Ld
-        return dense
-    return stack_operators([_fixed_k_operator(L, buckets, N) for L in Ls])
+        return np.stack([_dense_sample_operator(L, N, cache=cache) for L in Ls])
+    return stack_operators([_fixed_k_operator(L, buckets, N, cache=cache) for L in Ls])
 
 
-def _fixed_k_operator(L: sp.spmatrix, buckets: Buckets, N: int):
+def _fixed_k_operator(L: sp.spmatrix, buckets: Buckets, N: int, cache=None):
     """ELL operator with dataset-fixed slot counts for both directions.
 
     Uses the native one-pass CSR->(fwd, transpose) packer when the C++
@@ -353,13 +407,18 @@ def _fixed_k_operator(L: sp.spmatrix, buckets: Buckets, N: int):
     tests/test_native.py)."""
     from surfacenetworks_tpu.sparse import EllOperator, ell_from_scipy
 
-    csr = L.tocsr().astype(np.float32)
-    op = native.ell_operator_from_csr(csr, N, buckets.ell_k, buckets.ell_k_t)
-    if op is not None:
-        return op
-    fwd = ell_from_scipy(csr, k=buckets.ell_k, n_rows=N, n_cols=N)
-    bwd = ell_from_scipy(csr.T.tocsr(), k=buckets.ell_k_t, n_rows=N, n_cols=N)
-    return EllOperator(fwd=fwd, bwd=bwd)
+    def build():
+        csr = L.tocsr().astype(np.float32)
+        op = native.ell_operator_from_csr(csr, N, buckets.ell_k, buckets.ell_k_t)
+        if op is not None:
+            return op
+        fwd = ell_from_scipy(csr, k=buckets.ell_k, n_rows=N, n_cols=N)
+        bwd = ell_from_scipy(csr.T.tocsr(), k=buckets.ell_k_t, n_rows=N, n_cols=N)
+        return EllOperator(fwd=fwd, bwd=bwd)
+
+    if cache is None:
+        return build()
+    return cache.get((L,), ("ell", N, buckets.ell_k, buckets.ell_k_t), build)
 
 
 def _pad_faces(samples, buckets):
@@ -377,9 +436,12 @@ def mnist_batch(
     buckets: Buckets,
     model: str = "lap",
     fmt: str = "auto",
+    cache=None,
+    operator=None,
 ) -> MeshBatch:
     """Classification batch: inputs = lifted V, targets = int labels
-    (mesh_mnist/main.py:79-117)."""
+    (mesh_mnist/main.py:79-117).  ``operator`` short-circuits packing with a
+    caller-built (e.g. graph-parallel partitioned) operator."""
     B = len(samples)
     N = buckets.n_vertices
     inputs = np.stack([pad_rows(np.asarray(s["V"], np.float32), N) for s in samples])
@@ -387,17 +449,17 @@ def mnist_batch(
     mask = np.zeros((B, N, 1), dtype=np.float32)
     for b, s in enumerate(samples):
         mask[b, : s["V"].shape[0]] = 1.0
-    if model == "dirac":
-        ops = [
-            dirac_from_coeffs(
-                s["dirac"], n_vertices=N, n_faces=buckets.n_faces,
-                max_valence=buckets.max_valence, **buckets.dirac_kwargs(),
-            )
-            for s in samples
-        ]
-        operator = stack_dirac(ops)
+    if operator is not None:
+        pass
+    elif model == "dirac":
+        operator = stack_dirac(
+            [
+                _dirac_sample_operator(s, buckets, N, buckets.n_faces, cache=cache)
+                for s in samples
+            ]
+        )
     else:
-        operator = _lap_operator_batch([s["L"] for s in samples], buckets, N, fmt)
+        operator = _lap_operator_batch([s["L"] for s in samples], buckets, N, fmt, cache=cache)
     return MeshBatch(
         inputs=inputs, targets=targets, mask=mask, operator=operator,
         faces=_pad_faces(samples, buckets), names=[s.get("name") for s in samples],
@@ -422,6 +484,7 @@ def vae_batch(
     fmt: str = "auto",
     operator=None,
     flat_operator=None,
+    cache=None,
 ) -> MeshBatch:
     """VAE batch: lifted + flat inputs and operators (mesh_mnist/main_vae.py:72-125).
 
@@ -442,19 +505,21 @@ def vae_batch(
     elif model == "dirac":
         operator = stack_dirac(
             [
-                dirac_from_coeffs(_dirac_coeffs_of(s), N, buckets.n_faces, buckets.max_valence, **buckets.dirac_kwargs())
+                _dirac_sample_operator(s, buckets, N, buckets.n_faces, cache=cache)
                 for s in samples
             ]
         )
         flat_operator = stack_dirac(
             [
-                dirac_from_coeffs(_dirac_coeffs_of(s, "flat_dirac"), N, buckets.n_faces, buckets.max_valence, **buckets.dirac_kwargs())
+                _dirac_sample_operator(s, buckets, N, buckets.n_faces, key="flat_dirac", cache=cache)
                 for s in samples
             ]
         )
     else:
-        operator = _lap_operator_batch([s["L"] for s in samples], buckets, N, fmt)
-        flat_operator = _lap_operator_batch([s["flat_L"] for s in samples], buckets, N, fmt)
+        operator = _lap_operator_batch([s["L"] for s in samples], buckets, N, fmt, cache=cache)
+        flat_operator = _lap_operator_batch(
+            [s["flat_L"] for s in samples], buckets, N, fmt, cache=cache
+        )
     return MeshBatch(
         inputs=inputs, targets=inputs, mask=mask, operator=operator,
         faces=_pad_faces(samples, buckets), names=[s.get("name") for s in samples],
@@ -471,6 +536,7 @@ def arap_batch(
     input_frames: int = 2,
     output_frames: int = 40,
     operator=None,
+    cache=None,
 ) -> MeshBatch:
     """Temporal batch: ``picks`` = (sequence index, frame offset) per batch
     element; inputs = 2 frames, targets = next 40, operator from the last
@@ -497,18 +563,14 @@ def arap_batch(
     if operator is not None:
         pass
     elif model == "dirac":
-        coeffs_list = [
-            s["dirac"] if s.get("dirac") is not None else native.dirac_coeffs(s["V"], s["F"])
-            for s in op_samples
-        ]
         operator = stack_dirac(
             [
-                dirac_from_coeffs(c, N, buckets.n_faces, buckets.max_valence, **buckets.dirac_kwargs())
-                for c in coeffs_list
+                _dirac_sample_operator(s, buckets, N, buckets.n_faces, cache=cache)
+                for s in op_samples
             ]
         )
     else:
-        operator = _lap_operator_batch([s["L"] for s in op_samples], buckets, N, fmt)
+        operator = _lap_operator_batch([s["L"] for s in op_samples], buckets, N, fmt, cache=cache)
     return MeshBatch(
         inputs=inputs, targets=targets, mask=mask, operator=operator,
         faces=_pad_faces(faces_list, buckets),
@@ -517,7 +579,7 @@ def arap_batch(
 
 def correspondence_batch(
     sample: dict, buckets: Buckets, model: str = "lap", fmt: str = "ell",
-    operator=None, op_dtype=None,
+    operator=None, op_dtype=None, cache=None,
 ) -> MeshBatch:
     """Single-shape batch (B=1) for the siamese trainer
     (dense_correspondence/main.py:106-191); targets = (G, label, label_inv).
@@ -535,32 +597,23 @@ def correspondence_batch(
     if operator is not None:
         pass
     elif model == "dirac":
-        coeffs = sample.get("dirac")
-        if coeffs is None:
-            coeffs = native.dirac_coeffs(sample["V"], sample["F"])
         operator = stack_dirac(
-            [dirac_from_coeffs(coeffs, N, buckets.n_faces, buckets.max_valence, **buckets.dirac_kwargs())]
+            [_dirac_sample_operator(sample, buckets, N, buckets.n_faces, cache=cache)]
         )
     elif fmt == "bsr":
-        from surfacenetworks_tpu.sparse import bsr_operator_from_scipy, stack_bsr_operators
+        from surfacenetworks_tpu.sparse import stack_bsr_operators
 
         operator = stack_bsr_operators(
-            [
-                bsr_operator_from_scipy(
-                    sample["L"], block_size=buckets.bsr_block, k=buckets.bsr_k,
-                    n_rows=N, n_cols=N,
-                    **({"dtype": op_dtype} if op_dtype is not None else {}),
-                )
-            ]
+            [_bsr_sample_operator(sample["L"], buckets, N, op_dtype, cache=cache)]
         )
     elif model == "amp":
         # squared-Laplacian pyramid: list of batched operators, one per level
         operator = [
-            stack_operators([_fixed_k_operator(Lk, buckets, N)])
+            stack_operators([_fixed_k_operator(Lk, buckets, N, cache=cache)])
             for Lk in sample["L_pyr"]
         ]
     else:
-        operator = stack_operators([_fixed_k_operator(sample["L"], buckets, N)])
+        operator = stack_operators([_fixed_k_operator(sample["L"], buckets, N, cache=cache)])
     return MeshBatch(
         inputs=inputs,
         targets=(sample["G"], sample["label"], sample["label_inv"]),
@@ -570,6 +623,40 @@ def correspondence_batch(
     )
 
 
+def _cascade_sample_pack(
+    s: dict, levels: int, n_bucket: int, ell_k: int, input_key: str, target_key: str,
+    cache=None,
+):
+    """Per-sample cascade pack: (reordered padded input, target, pyramid
+    mask, per-level EllOperators).  The pyramid build (greedy coarsening +
+    per-level Laplacians) is by far the most expensive host packing in the
+    framework — cached as a unit."""
+    from surfacenetworks_tpu.geometry import coarsening
+    from surfacenetworks_tpu.sparse import EllOperator, ell_from_scipy
+
+    def build():
+        p = coarsening.build_pyramid(s["V"], s["F"], levels, n_bucket=n_bucket)
+        inp = pad_rows(
+            coarsening.reorder_fine_data(p, np.asarray(s[input_key], np.float32)), n_bucket
+        )
+        tgt = pad_rows(
+            coarsening.reorder_fine_data(p, np.asarray(s[target_key], np.float32)), n_bucket
+        )
+        msk = coarsening.pyramid_mask(p).astype(np.float32)
+        ops = []
+        for lvl in range(levels):
+            L = p.levels[lvl].L
+            fwd = ell_from_scipy(L, k=ell_k, n_rows=L.shape[0], n_cols=L.shape[1])
+            bwd = ell_from_scipy(L.T.tocsr(), k=ell_k, n_rows=L.shape[0], n_cols=L.shape[1])
+            ops.append(EllOperator(fwd=fwd, bwd=bwd))
+        return (inp, tgt, msk, ops)
+
+    if cache is None:
+        return build()
+    owners = (s["V"], s["F"], s[input_key], s[target_key])
+    return cache.get(owners, ("cascade", levels, n_bucket, ell_k), build)
+
+
 def cascade_batch(
     samples: list[dict],
     levels: int,
@@ -577,50 +664,26 @@ def cascade_batch(
     ell_k: int = 32,
     input_key: str = "input",
     target_key: str = "target",
+    cache=None,
 ) -> MeshBatch:
     """Multiresolution batch for EfficientCascade: per-sample Laplacian
     pyramids (coarsest..finest), per-vertex data reordered into the
     pair-adjacent pyramid ordering.  ``operator`` is a list of batched
     EllOperators, one per level (finest last, matching reference Laps)."""
-    from surfacenetworks_tpu.geometry import coarsening
-
-    B = len(samples)
-    pyramids = [
-        coarsening.build_pyramid(s["V"], s["F"], levels, n_bucket=n_bucket) for s in samples
+    packs = [
+        _cascade_sample_pack(s, levels, n_bucket, ell_k, input_key, target_key, cache=cache)
+        for s in samples
     ]
-    N = n_bucket
-    inputs = np.stack(
-        [
-            pad_rows(
-                coarsening.reorder_fine_data(p, np.asarray(s[input_key], np.float32)), N
-            )
-            for p, s in zip(pyramids, samples)
-        ]
-    )
-    targets = np.stack(
-        [
-            pad_rows(
-                coarsening.reorder_fine_data(p, np.asarray(s[target_key], np.float32)), N
-            )
-            for p, s in zip(pyramids, samples)
-        ]
-    )
-    mask = np.stack([coarsening.pyramid_mask(p) for p in pyramids])
-    level_ops = []
-    for lvl in range(levels):
-        ops = []
-        for p in pyramids:
-            L = p.levels[lvl].L
-            from surfacenetworks_tpu.sparse import EllOperator, ell_from_scipy
-
-            fwd = ell_from_scipy(L, k=ell_k, n_rows=L.shape[0], n_cols=L.shape[1])
-            bwd = ell_from_scipy(L.T.tocsr(), k=ell_k, n_rows=L.shape[0], n_cols=L.shape[1])
-            ops.append(EllOperator(fwd=fwd, bwd=bwd))
-        level_ops.append(stack_operators(ops))
+    inputs = np.stack([p[0] for p in packs])
+    targets = np.stack([p[1] for p in packs])
+    mask = np.stack([p[2] for p in packs])
+    level_ops = [
+        stack_operators([p[3][lvl] for p in packs]) for lvl in range(levels)
+    ]
     return MeshBatch(
         inputs=inputs,
         targets=targets,
-        mask=mask.astype(np.float32),
+        mask=mask,
         operator=level_ops,
         names=[s.get("name") for s in samples],
     )
@@ -647,6 +710,7 @@ def dirac_batch(
     target_key: str = "target",
     fmt: str = "structured",
     operator=None,
+    cache=None,
 ) -> MeshBatch:
     """Assemble a Dirac batch: ``fmt='structured'`` (quaternion coefficient
     tables, the TPU-native default) or ``'dense'`` (padded dense operator
@@ -664,15 +728,9 @@ def dirac_batch(
     elif fmt == "dense":
         operator = dense_dirac_pair(samples, N, M)
     else:
-        ops = []
-        for s in samples:
-            coeffs = s.get("dirac")
-            if coeffs is None:
-                coeffs = native.dirac_coeffs(s["V"], s["F"])
-            ops.append(
-                dirac_from_coeffs(coeffs, n_vertices=N, n_faces=M, max_valence=buckets.max_valence, **buckets.dirac_kwargs())
-            )
-        operator = stack_dirac(ops)
+        operator = stack_dirac(
+            [_dirac_sample_operator(s, buckets, N, M, cache=cache) for s in samples]
+        )
     return MeshBatch(
         inputs=inputs,
         targets=targets,

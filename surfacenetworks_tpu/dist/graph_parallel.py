@@ -176,23 +176,29 @@ def make_graph_sharded_apply(
     apply_fn: Callable,
     vertex_axis: str = "graph",
     batch_axis: str | None = None,
+    out_vertex_sharded: bool = True,
 ):
-    """Wrap ``apply_fn(params, op, mask, inputs) -> outputs`` in a shard_map
-    that row-shards the vertex dimension over ``vertex_axis`` (and the
-    mesh-batch dimension over ``batch_axis`` if given).
+    """Wrap ``apply_fn(params, op, mask, inputs, *extra) -> outputs`` in a
+    shard_map that row-shards the vertex dimension over ``vertex_axis`` (and
+    the mesh-batch dimension over ``batch_axis`` if given).
 
     ``op`` must be a (batched iff ``batch_axis``) ``PartitionedOperator``;
-    ``mask``/``inputs``/``outputs`` are global ``[B, N, ...]`` arrays.  The
-    returned function operates on global arrays and is jit-compatible; call
-    it inside ``jax.jit`` / a grad transform as usual.
+    ``mask``/``inputs`` are global ``[B, N, ...]`` arrays; any ``*extra``
+    arguments are replicated (e.g. a dropout rng).  ``out_vertex_sharded``:
+    True for per-vertex outputs ``[B, N, ...]``; False for globally pooled
+    heads (classifier logits) whose value is identical on every shard after
+    the body's psum'd pooling — the output is then replicated.  The returned
+    function operates on global arrays and is jit-compatible; call it inside
+    ``jax.jit`` / a grad transform as usual.
     """
     row_spec = P(batch_axis, vertex_axis)  # [B, N, ...] arrays
+    out_spec = row_spec if out_vertex_sharded else P(batch_axis)
 
-    def local_fn(params, op, mask, inputs):
+    def local_fn(params, op, mask, inputs, *extra):
         with parallel_context.sharded_axes(vertex_axis=vertex_axis, batch_axis=batch_axis):
-            return apply_fn(params, op, mask, inputs)
+            return apply_fn(params, op, mask, inputs, *extra)
 
-    def run(params, op, mask, inputs):
+    def run(params, op, mask, inputs, *extra):
         # operator leaves may be flat [N, K] or mesh-batched [B, N, K]; the
         # single spec acts as a pytree prefix over all operator leaves
         # (row-sharded alike, whether an Ell or a Dirac partition)
@@ -200,10 +206,10 @@ def make_graph_sharded_apply(
         fn = jax.shard_map(
             local_fn,
             mesh=mesh,
-            in_specs=(P(), op_spec, row_spec, row_spec),
-            out_specs=row_spec,
+            in_specs=(P(), op_spec, row_spec, row_spec) + (P(),) * len(extra),
+            out_specs=out_spec,
         )
-        return fn(params, op, mask, inputs)
+        return fn(params, op, mask, inputs, *extra)
 
     return run
 

@@ -32,14 +32,22 @@ def initialize_multihost(coordinator_address: str | None = None, **kwargs) -> No
     """jax.distributed bootstrap for multi-host slices (DCN across hosts,
     ICI within a slice).
 
-    Only the benign "already initialized" case is swallowed; any genuine
-    misconfiguration (bad coordinator address, inconsistent process counts,
-    unreachable peers) re-raises so a broken launch fails loudly instead of
+    Only the benign "already initialized in this process" case is a no-op;
+    any genuine misconfiguration (bad coordinator address, inconsistent
+    process counts, unreachable peers, calling after JAX backend use without
+    ever initializing) re-raises so a broken launch fails loudly instead of
     silently degrading to a single-process run."""
+    try:
+        from jax._src.distributed import global_state as _dist_state
+
+        if getattr(_dist_state, "client", None) is not None:
+            return  # this process already runs a distributed client: no-op
+    except ImportError:  # pragma: no cover - private-API layout change
+        pass
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
     except RuntimeError as e:
-        if "already initialized" not in str(e).lower():
+        if "should only be called once" not in str(e):
             raise
     else:
         import logging

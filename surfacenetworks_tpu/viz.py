@@ -140,3 +140,66 @@ def quiver_operator(V, F, operator_applied, path: str, dpi: int = 80, scale: flo
     fig.savefig(path, dpi=dpi)
     plt.close(fig)
     return path
+
+
+def plot_curves(jsonl_path: str, png_path: str | None = None, dpi: int = 90) -> str | None:
+    """Render training curves from a per-epoch metrics JSONL file.
+
+    The TPU-headless replacement for the reference's visdom/plotly live
+    plotting hooks (normal_predict/train_4_normal.py:93-95): trainers append
+    one ``{"epoch": E, "split": "train"|"test", <metric>: value}`` line per
+    epoch (cli.common.MetricsLogger); this renders one subplot per metric
+    with train/test series overlaid.  Returns the PNG path (None if the
+    JSONL is missing or empty).
+    """
+    import json
+    import os
+
+    if not os.path.exists(jsonl_path):
+        return None
+    records = []
+    with open(jsonl_path) as fp:
+        for line in fp:
+            line = line.strip()
+            if line:
+                try:
+                    records.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+    if not records:
+        return None
+    metrics = sorted(
+        {
+            k
+            for r in records
+            for k, v in r.items()
+            if k not in ("epoch", "split", "time") and isinstance(v, (int, float))
+        }
+    )
+    if not metrics:
+        return None
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    png_path = png_path or jsonl_path.rsplit(".metrics.jsonl", 1)[0] + "_curves.png"
+    fig, axes = plt.subplots(1, len(metrics), figsize=(4.5 * len(metrics), 3.4), squeeze=False)
+    for ax, metric in zip(axes[0], metrics):
+        for split in sorted({r.get("split", "train") for r in records}):
+            pts = [
+                (r["epoch"], r[metric])
+                for r in records
+                if r.get("split", "train") == split and isinstance(r.get(metric), (int, float))
+            ]
+            if pts:
+                xs, ys = zip(*sorted(pts))
+                ax.plot(xs, ys, marker=".", markersize=3, linewidth=1.2, label=split)
+        ax.set_xlabel("epoch")
+        ax.set_title(metric)
+        ax.grid(True, alpha=0.3)
+        ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(png_path, dpi=dpi)
+    plt.close(fig)
+    return png_path

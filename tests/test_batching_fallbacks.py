@@ -181,3 +181,89 @@ def test_tiered_sampler_groups_and_rates():
         counts[tiers.pop()] += 1
     # both groups have 4 samples -> draw rates should be roughly equal
     assert 60 < counts[0] < 140 and 60 < counts[1] < 140, counts
+
+
+def test_auto_format_bsr_branch():
+    """rcm_ok callers get the BSR/MXU fast path above the dense window
+    (round-3 verdict item 2: the 13x path must be reachable on 'auto')."""
+    from surfacenetworks_tpu.data import choose_operator_format
+
+    assert choose_operator_format(1, 7168, rcm_ok=True) == "bsr"
+    assert choose_operator_format(32, 2048, rcm_ok=True) == "bsr"
+    assert choose_operator_format(1, 7168, rcm_ok=False) == "ell"
+    assert choose_operator_format(4, 1024, rcm_ok=True) == "dense"  # dense window wins
+
+
+def test_tiered_bsr_padding_and_numerics():
+    """--buckets composes with BSR (round-3 verdict item 5): 128-multiple
+    tiers still cut padded-vertex fraction on a heterogeneous set, and the
+    same sample batched at two tiers yields identical BSR applies on its
+    valid rows."""
+    from surfacenetworks_tpu.data import (
+        BucketSet,
+        Buckets,
+        laplacian_batch,
+        padded_vertex_fraction,
+        rcm_reorder_sample,
+    )
+    from surfacenetworks_tpu.data.datasets import synthetic_normal_dataset
+
+    samples = []
+    for i, n in enumerate([40, 50, 60, 300, 320, 900]):
+        samples.extend(synthetic_normal_dataset(1, n_points=n, seed=200 + i))
+    samples = [rcm_reorder_sample(s) for s in samples]
+
+    single = Buckets.for_samples(samples, multiple=128)
+    bs = BucketSet.for_samples(samples, n_tiers=3, multiple=128)
+    assert len(bs.tiers) >= 2
+    frac_single = padded_vertex_fraction(samples, lambda s: single)
+    frac_tiered = padded_vertex_fraction(samples, lambda s: bs.select([s]))
+    assert frac_tiered < frac_single, (frac_tiered, frac_single)
+
+    s = samples[0]
+    small, big = bs.select([s]), bs.tiers[-1]
+    assert small.n_vertices < big.n_vertices
+    b_small = laplacian_batch([s], small, fmt="bsr")
+    b_big = laplacian_batch([s], big, fmt="bsr")
+    n = s["V"].shape[0]
+    y_small = sps.bsr_spmm(b_small.operator, jnp.asarray(b_small.inputs))
+    y_big = sps.bsr_spmm(b_big.operator, jnp.asarray(b_big.inputs))
+    np.testing.assert_allclose(
+        np.asarray(y_small)[0, :n], np.asarray(y_big)[0, :n], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_tiered_bsr_cli_smoke(tmp_path):
+    """--buckets 2 + --operator-format bsr trains end-to-end (the round-2/3
+    SystemExit is gone)."""
+    from surfacenetworks_tpu.cli import train_normal
+
+    train_normal.main(
+        [
+            "--synthetic", "8", "--num-epoch", "1", "--num-updates", "4",
+            "--layer", "2", "--batch-size", "2", "--buckets", "2",
+            "--operator-format", "bsr",
+            "--result-dir", str(tmp_path), "--debug",
+        ]
+    )
+
+
+def test_tiered_graph_parallel_cli_smoke(tmp_path):
+    """--buckets 2 + --graph-parallel 2: per-tier partition floors, one jit
+    compilation per tier."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 2:
+        import pytest as _pytest
+
+        _pytest.skip("needs >= 2 devices")
+    from surfacenetworks_tpu.cli import train_normal
+
+    train_normal.main(
+        [
+            "--synthetic", "8", "--num-epoch", "1", "--num-updates", "4",
+            "--layer", "2", "--batch-size", "2", "--buckets", "2",
+            "--graph-parallel", "2",
+            "--result-dir", str(tmp_path), "--debug",
+        ]
+    )

@@ -162,7 +162,14 @@ def test_initialize_multihost_fails_loudly(monkeypatch):
         mesh_setup.initialize_multihost(coordinator_address="10.0.0.99:1234")
 
     def raise_already(**kwargs):
-        raise RuntimeError("The distributed system is Already Initialized.")
+        raise RuntimeError("distributed.initialize should only be called once.")
 
     monkeypatch.setattr(jax.distributed, "initialize", raise_already)
     mesh_setup.initialize_multihost()  # benign: swallowed
+
+    # a live distributed client in this process -> clean no-op before the call
+    from jax._src.distributed import global_state as _gs
+
+    monkeypatch.setattr(_gs, "client", object(), raising=False)
+    monkeypatch.setattr(jax.distributed, "initialize", raise_connect)
+    mesh_setup.initialize_multihost()  # no-op: initialize never reached

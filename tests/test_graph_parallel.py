@@ -292,3 +292,19 @@ def test_partitioned_siamese_pair():
         # the reference SiameseModel einsum accumulates at f32
         # (preferred_element_type), so logits agree to f32 epsilon only
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_mnist_graph_parallel_cli_smoke(tmp_path):
+    """train_mnist --graph-parallel: row-sharded body, psum'd pooling,
+    replicated classifier head (round-3 verdict item 9 — the trainer-zoo
+    symmetry gap)."""
+    from surfacenetworks_tpu.cli import train_mnist
+
+    train_mnist.main(
+        [
+            "--synthetic", "8", "--synthetic-classes", "3",
+            "--synthetic-points", "200", "--batch-size", "4",
+            "--num-epoch", "1", "--layer", "2", "--graph-parallel", "2",
+            "--result-dir", str(tmp_path),
+        ]
+    )
