@@ -258,22 +258,71 @@ def main(argv=None):
             jnp.asarray(b.targets),
         )
 
+    # device-resident pick store (single-device path): every valid
+    # (sequence, offset) pick's packed single batch uploads once; steps
+    # gather by pick index with the smooth-L1 sum riding inside the step's
+    # executable.  Falls back to the host path past the HBM budget (real
+    # ARAP datasets have thousands of picks; synthetic/evidence runs fit).
+    store = None
+    if not (n_gp or n_dp or args.dense):
+        from surfacenetworks_tpu.data import DeviceDataset, IndexedBatch
+
+        def _valid_offsets(seq):
+            mo = min(len(seq) - INPUT_FRAMES - OUTPUT_FRAMES, 10 - INPUT_FRAMES)
+            return range(max(mo, 1))
+
+        all_picks = [
+            (si, off) for si in range(len(sequences)) for off in _valid_offsets(sequences[si])
+        ]
+        store = DeviceDataset.build(
+            all_picks, lambda pick: _batch_of([pick]), value_keys=True
+        )
+
+    if store is not None:
+
+        @jax.jit
+        def train_step_idx(state, tree, idx, sums):
+            b = IndexedBatch.gather(tree, idx)
+            new_state, loss = train_step(
+                state, b["operator"], b["mask"], b["inputs"], b["targets"]
+            )
+            return new_state, sums + loss
+
+        def sample_train_picks():
+            picks = []
+            for _ in range(args.batch_size):
+                ind = int(rng_np.integers(0, n_train))
+                max_off = len(sequences[ind]) - INPUT_FRAMES - OUTPUT_FRAMES
+                max_off = min(max_off, 10 - INPUT_FRAMES)
+                picks.append((ind, int(rng_np.integers(0, max(max_off, 1)))))
+            return picks
+
     metrics_log = MetricsLogger(args.result_prefix, os.path.join(args.result_dir, "log"))
     for epoch in range(args.num_epoch):
         loss_sum = 0.0
         meter = Throughput()
-        fetch = MetricFetcher()
+        if store is not None:
+            sums = jnp.float32(0)
+            for u in range(args.num_updates):
+                b = store.batch(sample_train_picks(), value_keys=True)
+                state, sums = train_step_idx(state, b.tree, b.idx, sums)
+                if u % 64 == 63:
+                    jax.block_until_ready(sums)
+                meter.tick(b.padded_vertex_count())
+            loss_sum = float(sums)
+        else:
+            fetch = MetricFetcher()
 
-        def accum(vals):
-            nonlocal loss_sum
-            if vals is not None:
-                loss_sum += vals[0]
+            def accum(vals):
+                nonlocal loss_sum
+                if vals is not None:
+                    loss_sum += vals[0]
 
-        for b in prefetch(lambda _i: sample_train(), args.num_updates):
-            state, loss = run_train_step(state, b)
-            accum(fetch.push(loss))
-            meter.tick(b.inputs.shape[0] * b.inputs.shape[1])
-        accum(fetch.flush())
+            for b in prefetch(lambda _i: sample_train(), args.num_updates):
+                state, loss = run_train_step(state, b)
+                accum(fetch.push(loss))
+                meter.tick(b.inputs.shape[0] * b.inputs.shape[1])
+            accum(fetch.flush())
         log(f"Train epoch {epoch}, loss {loss_sum / args.num_updates}, {meter.report()}")
         metrics_log.write(
             epoch, "train", loss=loss_sum / args.num_updates, steps_per_s=meter.steps_per_s

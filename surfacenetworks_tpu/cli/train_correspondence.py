@@ -38,6 +38,9 @@ parser = argparse.ArgumentParser(description="Dense correspondence (TPU)")
 parser.add_argument("--batch-size", type=int, default=1)
 parser.add_argument("--datapath", default="train_FAUST_npz/")
 parser.add_argument("--synthetic", type=int, default=0)
+parser.add_argument("--synthetic-points", type=int, default=200,
+                    help="points per synthetic FAUST-like mesh (use ~7000 for "
+                         "flagship-scale evidence runs)")
 parser.add_argument("--layer", type=int, default=15)
 parser.add_argument("--loss", default="dcel", choices=["sl1", "cel", "dcel"])
 parser.add_argument("--lr", default="1e-3")
@@ -114,7 +117,9 @@ def main(argv=None):
     rng_np = np.random.default_rng(args.seed)
 
     if args.synthetic:
-        data = datasets.synthetic_correspondence_dataset(args.synthetic, seed=args.seed)
+        data = datasets.synthetic_correspondence_dataset(
+            args.synthetic, n_points=args.synthetic_points, seed=args.seed
+        )
     else:
         files = sorted(glob.glob(os.path.join(args.datapath, "*.npz")))
         data = [datasets.load_faust_npz(f) for f in files]
@@ -370,6 +375,102 @@ def main(argv=None):
         out[: l.shape[0]] = l
         return place_rep(np.asarray(out))
 
+    # ------------------------------------------------------------------
+    # Fast single-device path: per-sample device cache + one-dispatch steps.
+    # Every sample's packed operator, mask, (unrotated) inputs, padded
+    # geodesic matrix and label tables upload ONCE; the train step does the
+    # rotation augmentation, the padded GAB aggregation, the loss and the
+    # metric sum all inside one executable.  Falls back to the host path
+    # under graph-parallel / multihost or past the HBM budget.
+    # ------------------------------------------------------------------
+    N_b = buckets.n_vertices
+    est_bytes = len(data) * (N_b * N_b * 4 + 40 * N_b * 4)
+    use_fast = not n_gp and jax.process_count() == 1 and est_bytes < (10 << 30)
+    _dev_cache: dict = {}
+
+    def dev_sample(sample):
+        """-> (device tree, true vertex count), cached per sample."""
+        key = id(sample)
+        hit = _dev_cache.get(key)
+        if hit is not None and hit[0] is sample:
+            return hit[1], hit[2]
+        pack = correspondence_batch(
+            sample, buckets, model=model_key, fmt="bsr" if use_bsr else "ell",
+            op_dtype=jnp.bfloat16 if (args.bf16 and use_bsr) else None,
+        )
+        G, lab, li = pack.targets
+        n = sample["V"].shape[0]
+        G_pad = np.zeros((N_b, N_b), np.float32)
+        G_pad[: G.shape[0], : G.shape[1]] = G
+        lab_pad = np.zeros(N_b, np.int32)
+        lab_pad[: lab.shape[0]] = lab
+        li_pad = np.zeros(N_b, np.int32)
+        li_pad[: li.shape[0]] = li
+        entry = jax.device_put(
+            {
+                "op": pack.operator,
+                "mask": pack.mask,
+                "inputs": pack.inputs,
+                "G": G_pad,
+                "l": lab_pad,
+                "li": li_pad,
+            }
+        )
+        _dev_cache[key] = (sample, entry, n)
+        _op_cache.setdefault(key, entry["op"])  # eval path reuses the device op
+        return entry, n
+
+    def _rot_matrix(txz, txy):
+        c1, s1 = jnp.cos(txz), jnp.sin(txz)
+        c2, s2 = jnp.cos(txy), jnp.sin(txy)
+        z = jnp.zeros_like(c1)
+        one = jnp.ones_like(c1)
+        Rxz = jnp.stack([
+            jnp.stack([c1, z, s1]), jnp.stack([z, one, z]), jnp.stack([-s1, z, c1])
+        ])
+        Rxy = jnp.stack([
+            jnp.stack([c2, s2, z]), jnp.stack([-s2, c2, z]), jnp.stack([z, z, one])
+        ])
+        return Rxz @ Rxy  # V @ Rxz then @ Rxy == V @ (Rxz @ Rxy)
+
+    def _aggregate_padded(GA, lA, liA, GB, lB, liB, na, nb):
+        """In-jit padded replica of the eager GAB construction: GAB_real on
+        [:na, :nb], zeros on rows >= na, +1e9 on cols >= nb (so argmin /
+        softmin ignore padded columns) — bit-identical semantics to the
+        host path (dense_correspondence/main.py:197-210 + column masking)."""
+        cols = liA[lB]
+        rows = liB[lA]
+        agg = GA[:, cols] + GB[rows, :]
+        r = jnp.arange(N_b)
+        valid = (r[:, None] < na) & (r[None, :] < nb)
+        GAB = jnp.where(valid, agg, 0.0)
+        return jnp.where(r[None, :] >= nb, 1e9, GAB)
+
+    @jax.jit
+    def train_step_fast(state, da, db, rots, na, nb, sums):
+        Ra = _rot_matrix(rots[0], rots[1])
+        Rb = _rot_matrix(rots[2], rots[3])
+        inx = da["inputs"] @ Ra
+        iny = db["inputs"] @ Rb
+        GAB = _aggregate_padded(
+            da["G"], da["l"], da["li"], db["G"], db["l"], db["li"], na, nb
+        )
+
+        def objective(params):
+            if use_stream:
+                fa, fb = features(
+                    params, da["op"], da["mask"], inx, db["op"], db["mask"], iny
+                )
+                target = jnp.argmin(GAB, axis=-1)
+                return losses.corr_dcel_streaming(
+                    fa[0].astype(jnp.float32), fb[0].astype(jnp.float32), target
+                ), ()
+            out = forward(params, da["op"], da["mask"], inx, db["op"], db["mask"], iny)
+            return loss_fn(out[0], GAB), ()
+
+        (loss, _), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
+        return state.apply_gradients(grads), sums + loss
+
     def assemble_pair(sa, sb):
         """Host-side pair assembly (rotation, padding, GT cost aggregation);
         runs on the prefetch thread so it overlaps the device step."""
@@ -414,25 +515,44 @@ def main(argv=None):
     from surfacenetworks_tpu.data import prefetch
 
     metrics_log = MetricsLogger(args.result_prefix, os.path.join(args.result_dir, "log"))
+    def _angles():
+        return (
+            np.float32(rng_np.uniform(0, 2 * np.pi)) if args.xz_rotate else np.float32(0),
+            np.float32(rng_np.uniform(0, 2 * np.pi)) if args.xy_rotate else np.float32(0),
+        )
+
     for epoch in range(args.num_epoch):
         loss_sum = 0.0
         meter = Throughput()
-        fetch = MetricFetcher()
+        if use_fast:
+            sums = jnp.float32(0)
+            for u in range(args.num_updates):
+                ia, ib = rng_np.integers(0, n_train, size=2)
+                da, na = dev_sample(data[int(ia)])
+                db, nb = dev_sample(data[int(ib)])
+                rots = _angles() + _angles()
+                state, sums = train_step_fast(state, da, db, rots, na, nb, sums)
+                if u % 64 == 63:
+                    jax.block_until_ready(sums)
+                meter.tick()
+            loss_sum = float(sums)
+        else:
+            fetch = MetricFetcher()
 
-        def accum(vals):
-            nonlocal loss_sum
-            if vals is not None:
-                loss_sum += vals[0]
+            def accum(vals):
+                nonlocal loss_sum
+                if vals is not None:
+                    loss_sum += vals[0]
 
-        def make_train_item(_i):
-            ia, ib = rng_np.integers(0, n_train, size=2)
-            return assemble_pair(data[int(ia)], data[int(ib)])
+            def make_train_item(_i):
+                ia, ib = rng_np.integers(0, n_train, size=2)
+                return assemble_pair(data[int(ia)], data[int(ib)])
 
-        for item in prefetch(make_train_item, args.num_updates):
-            loss = run_pair(None, None, train=True, pre=item)
-            accum(fetch.push(loss))
-            meter.tick()
-        accum(fetch.flush())
+            for item in prefetch(make_train_item, args.num_updates):
+                loss = run_pair(None, None, train=True, pre=item)
+                accum(fetch.push(loss))
+                meter.tick()
+            accum(fetch.flush())
         log(f"Train epoch {epoch}, loss {loss_sum / args.num_updates}, {meter.report()}")
         metrics_log.write(
             epoch, "train", loss=loss_sum / args.num_updates, steps_per_s=meter.steps_per_s

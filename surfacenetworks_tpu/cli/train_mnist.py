@@ -256,23 +256,60 @@ def main(argv=None):
     test_steps = max(len(test_data) // args.batch_size, 1)
     metrics_log = MetricsLogger(args.result_prefix, os.path.join(args.result_dir, "log"))
 
+    # device-resident dataset + one-dispatch steps (single-device path): the
+    # batch gather, the per-step dropout key (fold_in of the step counter)
+    # and the metric sums all live inside the step's executable
+    store = None
+    if not (n_gp or n_dp):
+        from surfacenetworks_tpu.data import DeviceDataset, IndexedBatch
+
+        store = DeviceDataset.build(
+            train_data + test_data, lambda s: make_batch([s], plain=True)
+        )
+
+    if store is not None:
+
+        @jax.jit
+        def train_step_idx(state, rng_epoch, u, tree, idx, sums):
+            sub = jax.random.fold_in(rng_epoch, u)
+            b = IndexedBatch.gather(tree, idx)
+            new_state, loss, acc = train_step(
+                state, sub, b["operator"], b["inputs"], b["mask"], b["targets"]
+            )
+            return new_state, (sums[0] + loss, sums[1] + acc)
+
+        @jax.jit
+        def eval_step_idx(params, tree, idx):
+            b = IndexedBatch.gather(tree, idx)
+            return eval_step(params, b["operator"], b["inputs"], b["mask"], b["targets"])
+
     for epoch in range(args.num_epoch):
         loss_sum = acc_sum = 0.0
-        fetch = MetricFetcher()
+        if store is not None:
+            rng, rng_epoch = jax.random.split(rng)
+            sums = (jnp.float32(0), jnp.float32(0))
+            for u in range(steps_per_epoch):
+                b = store.batch(train_sampler.next_batch())
+                state, sums = train_step_idx(state, rng_epoch, u, b.tree, b.idx, sums)
+                if u % 64 == 63:
+                    jax.block_until_ready(sums[0])
+            loss_sum, acc_sum = (float(s) for s in sums)
+        else:
+            fetch = MetricFetcher()
 
-        def accum(vals):
-            nonlocal loss_sum, acc_sum
-            if vals is not None:
-                loss_sum += vals[0]
-                acc_sum += vals[1]
+            def accum(vals):
+                nonlocal loss_sum, acc_sum
+                if vals is not None:
+                    loss_sum += vals[0]
+                    acc_sum += vals[1]
 
-        for b in prefetch(
-            lambda _i: make_batch(train_sampler.next_batch()), steps_per_epoch
-        ):
-            rng, sub = jax.random.split(rng)
-            state, loss, acc = run_train_step(state, sub, b)
-            accum(fetch.push(loss, acc))
-        accum(fetch.flush())
+            for b in prefetch(
+                lambda _i: make_batch(train_sampler.next_batch()), steps_per_epoch
+            ):
+                rng, sub = jax.random.split(rng)
+                state, loss, acc = run_train_step(state, sub, b)
+                accum(fetch.push(loss, acc))
+            accum(fetch.flush())
         log(f"Train epoch {epoch}, loss {loss_sum / steps_per_epoch}, acc {acc_sum / steps_per_epoch}")
         metrics_log.write(
             epoch, "train", loss=loss_sum / steps_per_epoch, acc=acc_sum / steps_per_epoch
@@ -283,13 +320,17 @@ def main(argv=None):
 
         loss_sum = acc_sum = 0.0
         for _ in range(test_steps):
-            b = make_batch(test_sampler.next_batch())
-            if n_gp:
+            if store is not None:
+                b = store.batch(test_sampler.next_batch())
+                loss, acc = eval_step_idx(state.params, b.tree, b.idx)
+            elif n_gp:
+                b = make_batch(test_sampler.next_batch())
                 op_d, arrs = gp_place(b)
                 loss, acc = gp_eval_step(
                     state.params, op_d, arrs["inputs"], arrs["mask"], jnp.asarray(b.targets)
                 )
             else:
+                b = make_batch(test_sampler.next_batch())
                 loss, acc = eval_step(
                     state.params, b.operator, jnp.asarray(b.inputs), jnp.asarray(b.mask),
                     jnp.asarray(b.targets),

@@ -244,35 +244,83 @@ def main(argv=None):
     steps = max(len(train_data) // args.batch_size, 1)
     test_steps = max(len(test_data) // args.batch_size, 1)
 
+    # device-resident dataset + one-dispatch steps (single-device path):
+    # batch gather, per-step sample key, and ELBO-term sums all inside the
+    # step's executable
+    store = None
+    if not (n_gp or n_dp):
+        from surfacenetworks_tpu.data import DeviceDataset, IndexedBatch
+
+        store = DeviceDataset.build(data, lambda s: make_batch([s], plain=True))
+
+    if store is not None:
+
+        @jax.jit
+        def train_step_idx(state, rng_epoch, u, tree, idx, kw, sums):
+            sub = jax.random.fold_in(rng_epoch, u)
+            b = IndexedBatch.gather(tree, idx)
+            new_state, loss, bce, kld, _ = train_step(
+                state, sub, b["inputs"], b["aux"]["flat_inputs"], b["operator"],
+                b["aux"]["flat_operator"], b["mask"], kw,
+            )
+            return new_state, (sums[0] + loss, sums[1] + bce, sums[2] + kld)
+
+        @jax.jit
+        def eval_step_idx(state, rng_epoch, u, tree, idx, sums):
+            sub = jax.random.fold_in(rng_epoch, 1 << 20 | u)
+            b = IndexedBatch.gather(tree, idx)
+            _, loss, bce, kld, _ = train_step(
+                state, sub, b["inputs"], b["aux"]["flat_inputs"], b["operator"],
+                b["aux"]["flat_operator"], b["mask"], jnp.float32(1.0),
+            )
+            return (sums[0] + loss, sums[1] + bce, sums[2] + kld)
+
     metrics_log = MetricsLogger(args.result_prefix, os.path.join(args.result_dir, "log"))
     for epoch in range(args.num_epoch):
         tl = tb = tk = 0.0
-        fetch = MetricFetcher()
-
-        def accum(vals):
-            nonlocal tl, tb, tk
-            if vals is not None:
-                tl += vals[0]; tb += vals[1]; tk += vals[2]
-
         kw = jnp.asarray(min(epoch / 10.0, 1.0), jnp.float32)
-        for b in prefetch_over(train_sampler, make_batch, steps):
-            rng, sub = jax.random.split(rng)
-            x, fx, op, fop, mask = unpack(b)
-            state, loss, bce, kld, recon = run_train_step(state, sub, x, fx, op, fop, mask, kw)
-            accum(fetch.push(loss, bce, kld))
-        accum(fetch.flush())
+        if store is not None:
+            rng, rng_epoch = jax.random.split(rng)
+            sums = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+            for u in range(steps):
+                b = store.batch(train_sampler.next_batch())
+                state, sums = train_step_idx(state, rng_epoch, u, b.tree, b.idx, kw, sums)
+                if u % 64 == 63:
+                    jax.block_until_ready(sums[0])
+            tl, tb, tk = (float(s) for s in sums)
+        else:
+            fetch = MetricFetcher()
+
+            def accum(vals):
+                nonlocal tl, tb, tk
+                if vals is not None:
+                    tl += vals[0]; tb += vals[1]; tk += vals[2]
+
+            for b in prefetch_over(train_sampler, make_batch, steps):
+                rng, sub = jax.random.split(rng)
+                x, fx, op, fop, mask = unpack(b)
+                state, loss, bce, kld, recon = run_train_step(state, sub, x, fx, op, fop, mask, kw)
+                accum(fetch.push(loss, bce, kld))
+            accum(fetch.flush())
         log(f"Train epoch {epoch}, loss {tl/steps}, bce {tb/steps}, kld {tk/steps}")
         metrics_log.write(epoch, "train", loss=tl / steps, bce=tb / steps, kld=tk / steps)
 
         tl = tb = tk = 0.0
-        for _ in range(test_steps):
-            rng, sub = jax.random.split(rng)
-            b = make_batch(test_sampler.next_batch())
-            x, fx, op, fop, mask = unpack(b)
-            _, loss, bce, kld, recon = run_train_step(
-                state, sub, x, fx, op, fop, mask, jnp.asarray(1.0), train=False
-            )
-            tl += float(loss); tb += float(bce); tk += float(kld)
+        if store is not None:
+            sums = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+            for u in range(test_steps):
+                b = store.batch(test_sampler.next_batch())
+                sums = eval_step_idx(state, rng_epoch, u, b.tree, b.idx, sums)
+            tl, tb, tk = (float(s) for s in sums)
+        else:
+            for _ in range(test_steps):
+                rng, sub = jax.random.split(rng)
+                b = make_batch(test_sampler.next_batch())
+                x, fx, op, fop, mask = unpack(b)
+                _, loss, bce, kld, recon = run_train_step(
+                    state, sub, x, fx, op, fop, mask, jnp.asarray(1.0), train=False
+                )
+                tl += float(loss); tb += float(bce); tk += float(kld)
         log(f"Test epoch {epoch}, loss {tl/test_steps}, bce {tb/test_steps}, kld {tk/test_steps}")
         metrics_log.write(
             epoch, "test", loss=tl / test_steps, bce=tb / test_steps, kld=tk / test_steps
