@@ -80,6 +80,12 @@ parser.add_argument("--graph-parallel", type=int, default=0,
                          "devices on the 'graph' mesh axis (lap and dir trunks; ring "
                          "halo exchange per apply, overlapped with interior compute; "
                          "needs >= that many JAX devices)")
+parser.add_argument("--smooth-reg", type=float, default=0.0,
+                    help="weight of the mesh-neighborhood feature-smoothness "
+                         "regularizer (losses.corr_feature_smoothness) — the "
+                         "SDDMM consumer: trunk-feature cosine scores sampled "
+                         "only at the operator pattern, no N x N matrix; "
+                         "single-device fast path only")
 parser.add_argument("--seed", type=int, default=17)
 add_multihost_flags(parser)
 config.add_config_flags(parser)
@@ -386,6 +392,10 @@ def main(argv=None):
     N_b = buckets.n_vertices
     est_bytes = len(data) * (N_b * N_b * 4 + 40 * N_b * 4)
     use_fast = not n_gp and jax.process_count() == 1 and est_bytes < (10 << 30)
+    smooth_w = float(args.smooth_reg)
+    if smooth_w > 0 and not use_fast:
+        raise SystemExit("--smooth-reg requires the single-device fast path "
+                         "(no --graph-parallel / --multihost)")
     _dev_cache: dict = {}
 
     def dev_sample(sample):
@@ -406,16 +416,24 @@ def main(argv=None):
         lab_pad[: lab.shape[0]] = lab
         li_pad = np.zeros(N_b, np.int32)
         li_pad[: li.shape[0]] = li
-        entry = jax.device_put(
-            {
-                "op": pack.operator,
-                "mask": pack.mask,
-                "inputs": pack.inputs,
-                "G": G_pad,
-                "l": lab_pad,
-                "li": li_pad,
-            }
-        )
+        tree = {
+            "op": pack.operator,
+            "mask": pack.mask,
+            "inputs": pack.inputs,
+            "G": G_pad,
+            "l": lab_pad,
+            "li": li_pad,
+        }
+        if smooth_w > 0:
+            # ELL pattern operator for the SDDMM smoothness regularizer
+            # (the trunk may run BSR; the pattern stays ELL)
+            from surfacenetworks_tpu.data.batching import _fixed_k_operator
+            from surfacenetworks_tpu.sparse import stack_operators
+
+            tree["reg_op"] = stack_operators(
+                [_fixed_k_operator(sample["L"], buckets, N_b)]
+            )
+        entry = jax.device_put(tree)
         _dev_cache[key] = (sample, entry, n)
         _op_cache.setdefault(key, entry["op"])  # eval path reuses the device op
         return entry, n
@@ -457,16 +475,29 @@ def main(argv=None):
         )
 
         def objective(params):
-            if use_stream:
+            if use_stream or smooth_w > 0:
                 fa, fb = features(
                     params, da["op"], da["mask"], inx, db["op"], db["mask"], iny
                 )
+            if use_stream:
                 target = jnp.argmin(GAB, axis=-1)
-                return losses.corr_dcel_streaming(
+                loss = losses.corr_dcel_streaming(
                     fa[0].astype(jnp.float32), fb[0].astype(jnp.float32), target
-                ), ()
-            out = forward(params, da["op"], da["mask"], inx, db["op"], db["mask"], iny)
-            return loss_fn(out[0], GAB), ()
+                )
+            elif smooth_w > 0:
+                out = jnp.einsum(
+                    "bnc,bmc->bnm", fa, fb, preferred_element_type=jnp.float32
+                )
+                loss = loss_fn(out[0], GAB)
+            else:
+                out = forward(params, da["op"], da["mask"], inx, db["op"], db["mask"], iny)
+                loss = loss_fn(out[0], GAB)
+            if smooth_w > 0:
+                loss = loss + smooth_w * (
+                    losses.corr_feature_smoothness(da["reg_op"], fa)
+                    + losses.corr_feature_smoothness(db["reg_op"], fb)
+                )
+            return loss, ()
 
         (loss, _), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
         return state.apply_gradients(grads), sums + loss

@@ -59,6 +59,9 @@ parser.add_argument("--half-lr", type=int, default=-1, help="halve LR every N ep
 parser.add_argument("--data-path", default=None, help="obj tree root")
 parser.add_argument("--test-path", default="@")
 parser.add_argument("--synthetic", type=int, default=0, help="use N synthetic meshes instead of files")
+parser.add_argument("--synthetic-points", type=int, default=150,
+                    help="points per synthetic mesh (use 1000-2000 for "
+                         "flagship-scale evidence runs)")
 parser.add_argument("--no-test", action="store_true")
 parser.add_argument("--uniform-mesh", action="store_true")
 parser.add_argument("--additional-opt", default=[], action="append",
@@ -115,7 +118,8 @@ def load_samples(args, log):
     hack = 0.0 if "hack0" in args.additional_opt else 1.0
     if args.synthetic:
         samples = datasets.synthetic_normal_dataset(
-            args.synthetic, seed=args.seed, operator=operator, hack=hack
+            args.synthetic, n_points=args.synthetic_points, seed=args.seed,
+            operator=operator, hack=hack,
         )
         random.shuffle(samples)
         sep = max(1, int(len(samples) * 0.8))

@@ -91,6 +91,27 @@ def aggregate_G(GA, lA, liA, GB, lB, liB):
     return GA[:, liA[lB]] + GB[liB[lA], :]
 
 
+def corr_feature_smoothness(op, f):
+    """Mesh-neighborhood feature-smoothness regularizer — the SDDMM consumer.
+
+    ``R = - sum_{(i,j) in pattern(op)} |w_ij| <f_i/|f_i|, f_j/|f_j|> / sum |w|``:
+    encourages neighboring scan vertices to carry similar (cosine-close)
+    trunk features, a standard smoothness prior for dense correspondence.
+    The pairwise scores are evaluated ONLY at the operator's sparsity
+    pattern via :func:`surfacenetworks_tpu.sparse.sddmm` (the Pallas kernel
+    that wins 2x over the XLA gather formulation, BENCH r03) — no ``[N, N]``
+    score matrix is ever materialized.  ``op`` is the batched EllOperator
+    whose values (cotan weights) double as edge weights; padding slots have
+    value 0 and drop out.  ``f [B, N, C]``.
+    """
+    from surfacenetworks_tpu.sparse import sddmm
+
+    fn = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-9)
+    scores = sddmm(op, fn, fn)  # [B, N, K] at the pattern slots
+    w = jnp.abs(op.fwd.vals)
+    return -jnp.sum(w * scores) / (jnp.sum(w) + 1e-9)
+
+
 def corr_smooth_l1(outputs, GAB):
     """smooth-L1 between logits and the aggregated geodesic cost, element-mean
     then / batch (main.py:212-214)."""

@@ -116,3 +116,48 @@ def test_sddmm_pallas_rejects_window0():
             jnp.zeros((8, 2), jnp.int32), jnp.zeros((8, 2)), jnp.zeros((8, 4)),
             jnp.zeros((8, 4)), 0,
         )
+
+
+def test_corr_feature_smoothness_matches_dense():
+    """The SDDMM consumer (losses.corr_feature_smoothness) equals the dense
+    masked computation: -sum |w_ij| cos(f_i, f_j) / sum |w| over the
+    operator pattern."""
+    from surfacenetworks_tpu.train import losses
+
+    L, op, _ = _mesh_operator(50, seed=4)
+    bop = stack_operators([op])
+    rng = np.random.default_rng(1)
+    f = rng.normal(size=(1, L.shape[0], 16)).astype(np.float32)
+
+    got = float(losses.corr_feature_smoothness(bop, jnp.asarray(f)))
+
+    fn = f[0] / np.maximum(np.linalg.norm(f[0], axis=-1, keepdims=True), 1e-9)
+    W = np.abs(L.toarray())
+    S = fn @ fn.T
+    want = -float((W * S).sum() / (W.sum() + 1e-9))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_corr_feature_smoothness_grad_flows():
+    from surfacenetworks_tpu.train import losses
+
+    L, op, _ = _mesh_operator(50, seed=5)
+    bop = stack_operators([op])
+    f = jnp.asarray(np.random.default_rng(2).normal(size=(1, L.shape[0], 8)), jnp.float32)
+    g = jax.grad(lambda x: losses.corr_feature_smoothness(bop, x))(f)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_smooth_reg_trainer_smoke(tmp_path):
+    """--smooth-reg exercises sparse.ops.sddmm end-to-end through the FAUST
+    trainer's fast path (round-3 verdict item 7)."""
+    from surfacenetworks_tpu.cli import train_correspondence
+
+    train_correspondence.main(
+        [
+            "--synthetic", "3", "--layer", "2", "--num-epoch", "1",
+            "--num-updates", "3", "--deser-option", "no",
+            "--smooth-reg", "0.1", "--result-dir", str(tmp_path),
+        ]
+    )
