@@ -120,6 +120,9 @@ def main(argv=None):
     enable_compilation_cache()
     maybe_initialize_multihost(args, log)
     log_environment(log)
+    config.dump_config(
+        args, os.path.join(args.result_dir, "cfg", f"{args.result_prefix}.json")
+    )
     rng_np = np.random.default_rng(args.seed)
 
     if args.synthetic:
@@ -502,6 +505,38 @@ def main(argv=None):
         (loss, _), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
         return state.apply_gradients(grads), sums + loss
 
+    @jax.jit
+    def eval_step_fast(params, da, db, rots, na, nb):
+        """Eval against the device-cached sample entries: no per-pair host
+        transfer of the [N, N] geodesic matrices (the round-4 eval wall)."""
+        Ra = _rot_matrix(rots[0], rots[1])
+        Rb = _rot_matrix(rots[2], rots[3])
+        inx = da["inputs"] @ Ra
+        iny = db["inputs"] @ Rb
+        GAB = _aggregate_padded(
+            da["G"], da["l"], da["li"], db["G"], db["l"], db["li"], na, nb
+        )
+        if use_stream:
+            fa, fb = features(
+                params, da["op"], da["mask"], inx, db["op"], db["mask"], iny
+            )
+            fa0 = fa[0].astype(jnp.float32)
+            fb0 = fb[0].astype(jnp.float32)
+            pred = losses.streaming_corr_argmax(fa0, fb0, db["mask"][0, :, 0])
+            metrics = losses.corr_metrics_from_pred(
+                pred, da["l"], db["l"], db["li"], db["G"], da["mask"][0, :, 0]
+            )
+            target = jnp.argmin(GAB, axis=-1)
+            return losses.corr_dcel_streaming(fa0, fb0, target), metrics
+        out = forward(params, da["op"], da["mask"], inx, db["op"], db["mask"], iny)
+        logits = out[0]
+        metrics = losses.corr_accuracy_metrics(
+            logits[0] if logits.ndim == 3 else logits,
+            da["l"], db["l"], db["li"], db["G"],
+            da["mask"][0, :, 0], db["mask"][0, :, 0],
+        )
+        return loss_fn(logits, GAB), metrics
+
     def assemble_pair(sa, sb):
         """Host-side pair assembly (rotation, padding, GT cost aggregation);
         runs on the prefetch thread so it overlaps the device step."""
@@ -598,7 +633,17 @@ def main(argv=None):
             loss_sum = 0.0
             msum: dict = {}
             for i, j in pairs:
-                loss, metrics = run_pair(data[i], data[j], train=False)
+                if use_fast:
+                    da, na = dev_sample(data[i])
+                    db, nb = dev_sample(data[j])
+                    rots = _angles() + _angles()
+                    loss_d, metrics_d = eval_step_fast(
+                        state.params, da, db, rots, na, nb
+                    )
+                    loss = float(loss_d)
+                    metrics = {k: float(v) for k, v in metrics_d.items()}
+                else:
+                    loss, metrics = run_pair(data[i], data[j], train=False)
                 loss_sum += loss
                 for k, v in metrics.items():
                     msum[k] = msum.get(k, 0.0) + v
