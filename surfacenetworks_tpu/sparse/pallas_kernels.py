@@ -69,6 +69,25 @@ neutral (235.8 vs 238.2 us) and bf16 tables+features are WORSE (258.0 us,
 extra convert traffic) — consistent with the gather-ISSUE-bound model:
 cost scales with gather instruction count, not gathered bytes, so --bf16
 leaves the Dirac apply at the fp32 tables it ships with.
+
+Round-4 Dirac verdicts (benchmarks/dirac_r04_experiments.py, measured on
+v5e at the same FAUST shapes) — the book is now closed at ~0.79 of the
+gather roofline:
+
+* scatter-fv formulation (face-major segment_sum over the 3M Hamilton-
+  weighted face rows instead of Kv row-gathers per vertex): numerics exact
+  (rel err 0.0) but **471 us roundtrip vs 237.6 shipped** — TPU scatter /
+  segment_sum lowering costs far more than the gathers it replaces.
+  REJECTED.
+* deeper valence packing (p90 base instead of p95): on realistic mesh
+  valence distributions p90 == p95 == 8 slots (valence is tightly
+  concentrated around 6), so there is no experiment to run — the p95
+  packing already sits at the distribution's knee.  NO-OP.
+* sharing incidence gathers between Di and the following DiA inside
+  DirResNet2: structurally impossible — the vf apply gathers rows of the
+  VERTEX tensor by face corner, the fv apply gathers rows of the newly
+  computed FACE tensor by vertex incidence; there is no common gathered
+  operand.  NOT APPLICABLE.
 """
 
 from __future__ import annotations
