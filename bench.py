@@ -171,6 +171,9 @@ def _wall_epoch_time(n_meshes=8, n_points=1000, layers=15, batch=4, updates=200)
     compiled step time is auditable."""
     import time as _time
 
+    import jax
+    import jax.numpy as jnp
+
     from surfacenetworks_tpu import models as zoo
     from surfacenetworks_tpu.cli.common import EpochSampler
     from surfacenetworks_tpu.data import Buckets, DeviceDataset, datasets, laplacian_batch
