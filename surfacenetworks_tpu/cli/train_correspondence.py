@@ -468,14 +468,40 @@ def main(argv=None):
         return jnp.where(r[None, :] >= nb, 1e9, GAB)
 
     @jax.jit
-    def train_step_fast(state, da, db, rots, na, nb, sums):
+    def _pair_target(da, db, na, nb):
+        """Per-pair dcel target: argmin over the aggregated geodesic cost.
+        Constant w.r.t. params AND rotation, so it is computed once per
+        (shape A, shape B) pair and cached on device — removing the [N, N]
+        aggregation (~5.6 ms at 7k, measured) from every train step."""
+        GAB = _aggregate_padded(
+            da["G"], da["l"], da["li"], db["G"], db["l"], db["li"], na, nb
+        )
+        return jnp.argmin(GAB, axis=-1).astype(jnp.int32)
+
+    _target_cache: dict = {}
+
+    def pair_target(ia, ib):
+        key = (ia, ib)
+        t = _target_cache.get(key)
+        if t is None:
+            da, na = dev_sample(data[ia])
+            db, nb = dev_sample(data[ib])
+            t = _pair_target(da, db, na, nb)
+            _target_cache[key] = t
+        return t
+
+    @jax.jit
+    def train_step_fast(state, da, db, rots, target, na, nb, sums):
         Ra = _rot_matrix(rots[0], rots[1])
         Rb = _rot_matrix(rots[2], rots[3])
         inx = da["inputs"] @ Ra
         iny = db["inputs"] @ Rb
-        GAB = _aggregate_padded(
-            da["G"], da["l"], da["li"], db["G"], db["l"], db["li"], na, nb
-        )
+        dcel = args.loss == "dcel"
+        if not dcel:
+            # sl1/cel consume the full aggregated cost matrix every step
+            GAB = _aggregate_padded(
+                da["G"], da["l"], da["li"], db["G"], db["l"], db["li"], na, nb
+            )
 
         def objective(params):
             if use_stream or smooth_w > 0:
@@ -483,18 +509,22 @@ def main(argv=None):
                     params, da["op"], da["mask"], inx, db["op"], db["mask"], iny
                 )
             if use_stream:
-                target = jnp.argmin(GAB, axis=-1)
                 loss = losses.corr_dcel_streaming(
                     fa[0].astype(jnp.float32), fb[0].astype(jnp.float32), target
                 )
-            elif smooth_w > 0:
-                out = jnp.einsum(
-                    "bnc,bmc->bnm", fa, fb, preferred_element_type=jnp.float32
-                )
-                loss = loss_fn(out[0], GAB)
             else:
-                out = forward(params, da["op"], da["mask"], inx, db["op"], db["mask"], iny)
-                loss = loss_fn(out[0], GAB)
+                if smooth_w > 0:
+                    out = jnp.einsum(
+                        "bnc,bmc->bnm", fa, fb, preferred_element_type=jnp.float32
+                    )
+                else:
+                    out = forward(
+                        params, da["op"], da["mask"], inx, db["op"], db["mask"], iny
+                    )
+                if dcel:
+                    loss = losses.corr_delta_cross_entropy_from_target(out[0], target)
+                else:
+                    loss = loss_fn(out[0], GAB)
             if smooth_w > 0:
                 loss = loss + smooth_w * (
                     losses.corr_feature_smoothness(da["reg_op"], fa)
@@ -592,12 +622,16 @@ def main(argv=None):
         meter = Throughput()
         if use_fast:
             sums = jnp.float32(0)
+            zero_target = jnp.zeros(buckets.n_vertices, jnp.int32)
             for u in range(args.num_updates):
                 ia, ib = rng_np.integers(0, n_train, size=2)
                 da, na = dev_sample(data[int(ia)])
                 db, nb = dev_sample(data[int(ib)])
+                target = (
+                    pair_target(int(ia), int(ib)) if args.loss == "dcel" else zero_target
+                )
                 rots = _angles() + _angles()
-                state, sums = train_step_fast(state, da, db, rots, na, nb, sums)
+                state, sums = train_step_fast(state, da, db, rots, target, na, nb, sums)
                 if u % 64 == 63:
                     jax.block_until_ready(sums)
                 meter.tick()

@@ -130,7 +130,13 @@ def corr_softmin_cross_entropy(outputs, GAB):
 def corr_delta_cross_entropy(outputs, GAB):
     """argmin-target cross-entropy — the reference default 'dcel'
     (main.py:229-240)."""
-    target = jnp.argmin(GAB, axis=-1)
+    return corr_delta_cross_entropy_from_target(outputs, jnp.argmin(GAB, axis=-1))
+
+
+def corr_delta_cross_entropy_from_target(outputs, target):
+    """dcel from a precomputed argmin target — the target depends only on
+    the (shape A, shape B) pair, so trainers cache it per pair on device and
+    skip the per-step [N, N] cost aggregation entirely."""
     logp = jax.nn.log_softmax(outputs, axis=-1)
     return -jnp.mean(jnp.take_along_axis(logp, target[..., None], axis=-1))
 
