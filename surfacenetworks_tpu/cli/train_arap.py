@@ -7,6 +7,7 @@ masked smooth-L1 sum loss, LR halved every 10 epochs past 50.
 from __future__ import annotations
 
 import argparse
+import functools
 import glob
 import os
 
@@ -280,7 +281,7 @@ def main(argv=None):
 
     if store is not None:
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 3))
         def train_step_idx(state, tree, idx, sums):
             b = IndexedBatch.gather(tree, idx)
             new_state, loss = train_step(

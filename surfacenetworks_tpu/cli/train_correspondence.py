@@ -9,6 +9,7 @@ augmentation; auto-deserialize from the conventional checkpoint path.
 from __future__ import annotations
 
 import argparse
+import functools
 import glob
 import itertools
 import os
@@ -490,7 +491,7 @@ def main(argv=None):
             _target_cache[key] = t
         return t
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 7))
     def train_step_fast(state, da, db, rots, target, na, nb, sums):
         Ra = _rot_matrix(rots[0], rots[1])
         Rb = _rot_matrix(rots[2], rots[3])

@@ -7,6 +7,7 @@ Data: either ``--synthetic N`` height-field meshes (blob-count labels) or a
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 
 import jax
@@ -269,7 +270,7 @@ def main(argv=None):
 
     if store is not None:
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 5))
         def train_step_idx(state, rng_epoch, u, tree, idx, sums):
             sub = jax.random.fold_in(rng_epoch, u)
             b = IndexedBatch.gather(tree, idx)

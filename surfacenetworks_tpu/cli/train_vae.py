@@ -8,6 +8,7 @@ reconstructions, and fixed-noise samples decoded on flat meshes.
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 
 import jax
@@ -255,7 +256,7 @@ def main(argv=None):
 
     if store is not None:
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 6))
         def train_step_idx(state, rng_epoch, u, tree, idx, kw, sums):
             sub = jax.random.fold_in(rng_epoch, u)
             b = IndexedBatch.gather(tree, idx)
