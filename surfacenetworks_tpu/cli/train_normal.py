@@ -48,7 +48,7 @@ from surfacenetworks_tpu.data import (
 from surfacenetworks_tpu.train import TrainState, checkpoint, losses, optim
 
 parser = argparse.ArgumentParser(description="Normal Predictor (TPU)")
-parser.add_argument("--model", default="lap", help="lap | dirac | avg | mlp | id | cas")
+parser.add_argument("--model", default="lap", help="lap | dirac | avg | mlp | id | gat | cas")
 parser.add_argument("--layer", type=int, default=15)
 parser.add_argument("--batch-size", type=int, default=1)
 parser.add_argument("--num-epoch", type=int, default=500)
@@ -109,6 +109,8 @@ def build_model(args):
         return zoo.MlpModel(3, 3, args.layer, dtype=dt)
     if args.model == "id":
         return zoo.IdDeepModel(3, 3, args.layer, dtype=dt)
+    if args.model == "gat":
+        return zoo.GatDeepModel(3, 3, args.layer, dtype=dt)
     if args.model.startswith("dirac"):
         return zoo.DirDeepModel(3, 3, args.layer, dtype=dt)
     return zoo.LapDeepModel(3, 3, layers=args.layer, dtype=dt)
@@ -177,6 +179,9 @@ def main(argv=None):
             args.batch_size, round_up(nv_all, 8), rcm_ok=True
         )
         log(f"operator format auto -> {args.operator_format}")
+    if args.model == "gat" and args.operator_format != "ell":
+        args.operator_format = "ell"  # attention scores sample the ELL pattern
+        log("operator format -> ell (gat attends over the operator pattern)")
     gp_interior = "ell"
     gp_dp = args.data_parallel if (n_gp and args.data_parallel > 1) else 0
     if n_gp:

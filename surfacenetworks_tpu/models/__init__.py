@@ -3,6 +3,7 @@
 from surfacenetworks_tpu.models import arap_models, correspondence, mnist_models, vae
 from surfacenetworks_tpu.models.normal_models import (
     AvgModel,
+    GatDeepModel,
     DirDeepModel,
     DirModelToFace,
     IdDeepModel,
@@ -14,6 +15,7 @@ from surfacenetworks_tpu.models.vae import DirVAE, LapVAE
 
 __all__ = [
     "AvgModel",
+    "GatDeepModel",
     "DirDeepModel",
     "DirModelToFace",
     "DirVAE",

@@ -16,6 +16,7 @@ from surfacenetworks_tpu.nn.blocks import (
     dirac_num_faces,
     AvgResNet2,
     DirResNet2,
+    GatResNet2,
     IdResNet2,
     MlpResNet2,
     WideAvgResNet2,
@@ -125,6 +126,35 @@ class DirModelToFace(nn.Module):
                 v = AvgResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(None, mask, v)
         x = nn.elu(f)
         return GraphConv1x1(WIDTH, self.out_features, "pre", dtype=self.dtype, name="conv2")(x).astype(jnp.float32)
+
+
+class GatDeepModel(nn.Module):
+    """Deep graph-attention network — the reference's GAT baseline
+    (normal_predict/models.py:85-124) revived: dead upstream (requires the
+    absent ``pygat`` package), implemented here as masked multi-head
+    attention over the operator's ELL neighborhood pattern
+    (nn.blocks.GatResNet2), alternating with Avg blocks like every deep
+    model in the zoo."""
+
+    in_features: int
+    out_features: int
+    layers: int = 15
+    heads: int = 4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        x = GraphConv1x1(self.in_features, WIDTH, "", dtype=self.dtype, name="conv1")(inputs)
+        for i in range(self.layers):
+            if i % 2 == 0:
+                x = GatResNet2(WIDTH, heads=self.heads, dtype=self.dtype, name=f"rn{i}")(
+                    op, mask, x
+                )
+            else:
+                x = AvgResNet2(WIDTH, dtype=self.dtype, name=f"rn{i}")(op, mask, x)
+        x = nn.elu(x)
+        x = GraphConv1x1(WIDTH, self.out_features, "pre", dtype=self.dtype, name="conv2")(x)
+        return x + repeating_expand(inputs, self.out_features)
 
 
 class AvgModel(nn.Module):

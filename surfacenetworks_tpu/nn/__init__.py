@@ -8,6 +8,7 @@ from surfacenetworks_tpu.nn.layers import (
 )
 from surfacenetworks_tpu.nn.blocks import (
     AvgResNet2,
+    GatResNet2,
     DenseLapResNet2,
     DirResNet2,
     IdResNet2,
@@ -22,6 +23,7 @@ from surfacenetworks_tpu.nn.blocks import (
 
 __all__ = [
     "AvgResNet2",
+    "GatResNet2",
     "DenseLapResNet2",
     "DirResNet2",
     "GraphBatchNorm",

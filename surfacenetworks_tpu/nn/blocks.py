@@ -184,6 +184,82 @@ class AvgResNet2(nn.Module):
         return x + inputs
 
 
+def gat_attend(op, xh, s_src, s_dst, negative_slope: float = 0.2):
+    """Masked multi-head graph attention over the operator's ELL pattern.
+
+    The reference ships a dead ``GatDeepModel`` (needs the absent ``pygat``
+    package, normal_predict/models.py:85-124); this is the revived TPU-native
+    aggregation: per-slot additive scores
+    ``e[r, k] = leaky_relu(s_src[r] + s_dst[cols[r, k]])`` (the standard GAT
+    decomposition — no pairwise matrix), masked softmax over the row's valid
+    slots (padding slots carry vals == 0), then an attention-weighted
+    neighbor gather.  The slot axis is unrolled like the Dirac applies
+    (sparse/ops.py _dirac_gather_apply): per-slot 2-D gathers keep the chain
+    in registers.
+
+    ``xh [N, H, Ch]``, ``s_src``/``s_dst`` ``[N, H]`` -> ``[N, H, Ch]``.
+    """
+    import jax
+
+    m = op.fwd if isinstance(op, EllOperator) else None
+    if m is None:
+        raise TypeError("gat_attend needs an EllOperator (pattern source)")
+
+    def single(cols, vals, xh, s_src, s_dst):
+        K = cols.shape[1]
+        scores = []
+        for k in range(K):
+            e_k = jax.nn.leaky_relu(
+                s_src + jnp.take(s_dst, cols[:, k], axis=0), negative_slope
+            )
+            scores.append(jnp.where(vals[:, k : k + 1] != 0, e_k, -1e9))
+        E = jnp.stack(scores, axis=1)  # [N, K, H]
+        A = jax.nn.softmax(E, axis=1)
+        out = jnp.zeros_like(xh)
+        for k in range(K):
+            out = out + A[:, k, :, None] * jnp.take(xh, cols[:, k], axis=0)
+        return out
+
+    if m.cols.ndim == 2:
+        return single(m.cols, m.vals, xh, s_src, s_dst)
+    return jax.vmap(single)(m.cols, m.vals, xh, s_src, s_dst)
+
+
+class GatResNet2(nn.Module):
+    """Graph-attention residual block — the LapResNet2 scheme with the
+    Laplacian apply replaced by masked multi-head attention over the same
+    neighborhood pattern (revives the reference's dead GAT baseline,
+    normal_predict/models.py:85-124, without pygat)."""
+
+    features: int
+    heads: int = 4
+    bnmode: str | None = ""
+    dtype: Any = None
+
+    def _attend(self, op, x, name):
+        H = self.heads
+        C = x.shape[-1]
+        assert C % H == 0, (C, H)
+        ch = C // H
+        a_src = self.param(f"{name}_a_src", nn.initializers.glorot_uniform(), (H, ch))
+        a_dst = self.param(f"{name}_a_dst", nn.initializers.glorot_uniform(), (H, ch))
+        xh = x.reshape(x.shape[:-1] + (H, ch))
+        s_src = jnp.einsum("...hc,hc->...h", xh, a_src)
+        s_dst = jnp.einsum("...hc,hc->...h", xh, a_dst)
+        out = gat_attend(op, xh, s_src, s_dst)
+        return out.reshape(x.shape)
+
+    @nn.compact
+    def __call__(self, op, mask, inputs):
+        x = nn.elu(inputs)
+        x = _cat_op(x, self._attend(op, x, "att0"))
+        x = GraphConv1x1(2 * self.features, self.features, _bn_mode(self.bnmode), dtype=self.dtype, name="bn_fc0")(x)
+        x = nn.elu(x)
+        x = _cat_op(x, self._attend(op, x, "att1"))
+        x = GraphConv1x1(2 * self.features, self.features, _bn_mode(self.bnmode), dtype=self.dtype, name="bn_fc1")(x)
+        return x + inputs
+
+
 class IdResNet2(nn.Module):
     """Identity-op ablation block (normal_predict/models.py:324-345)."""
 
