@@ -191,8 +191,11 @@ def _wall_epoch_time(n_meshes=8, n_points=1000, layers=15, batch=4, updates=200)
     )["params"]
     state = TrainState.create(params, optim.adam(1e-3))
 
-    @jax.jit
+    import functools as _functools
+
+    @_functools.partial(jax.jit, donate_argnums=(0, 3))
     def step_idx(state, tree, idx, sums):
+        # mirrors the trainer fast path exactly, incl. state/sums donation
         b = IndexedBatch.gather(tree, idx)
 
         def objective(p):

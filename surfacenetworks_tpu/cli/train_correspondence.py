@@ -189,6 +189,10 @@ def main(argv=None):
             for Lk in s_["L_pyr"]
         )
         buckets.ell_k = buckets.ell_k_t = max(buckets.ell_k, kmax)
+    if use_bsr:
+        from surfacenetworks_tpu.data.batching import fit_bsr_k
+
+        fit_bsr_k([s_["L"] for s_ in data], buckets)
     model = SiameseModel(model=args.model, layers=args.layer, remat=args.remat,
                          dtype=jnp.bfloat16 if args.bf16 else None)
 

@@ -223,6 +223,10 @@ def main(argv=None):
         ),
     )
     buckets = bucketset.tiers[-1]  # dataset-max tier (cascade/init paths)
+    if args.operator_format == "bsr" and not is_dirac:
+        from surfacenetworks_tpu.data.batching import fit_bsr_k
+
+        fit_bsr_k([s for s in all_samples if "L" in s], bucketset)
     if len(bucketset.tiers) > 1:
         log(f"bucket tiers: {[(b.n_vertices, b.n_faces) for b in bucketset.tiers]}")
     # pack-once operator cache: every sample's operator is converted to its

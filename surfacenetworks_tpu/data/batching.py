@@ -272,6 +272,34 @@ def choose_operator_format(
     return "ell"
 
 
+def bsr_k_needed(L, block: int = 128) -> int:
+    """Max distinct column blocks touched by any aligned ``block``-row band
+    of ``L`` — the minimum BSR slot count that packs it."""
+    coo = L.tocoo()
+    if coo.nnz == 0:
+        return 1
+    br = (coo.row // block).astype(np.int64)
+    bc = (coo.col // block).astype(np.int64)
+    pairs = np.unique(br * (1 << 32) + bc)
+    counts = np.bincount((pairs >> 32).astype(np.int64))
+    return int(counts.max())
+
+
+def fit_bsr_k(samples_or_Ls, bucketset_or_buckets) -> int:
+    """Size ``bsr_k`` to the dataset: RCM-reordered meshes usually fit the
+    default 8 blocks/block-row, but larger or less regular meshes can need
+    more (a 25k blob mesh measures 9).  Mutates the bucket(s) in place and
+    returns the fitted k."""
+    Ls = [s["L"] if isinstance(s, dict) else s for s in samples_or_Ls]
+    tiers = getattr(bucketset_or_buckets, "tiers", [bucketset_or_buckets])
+    block = tiers[0].bsr_block
+    k = max((bsr_k_needed(L, block) for L in Ls), default=1)
+    k = max(k, 1)
+    for t in tiers:
+        t.bsr_k = max(t.bsr_k, k)
+    return k
+
+
 def _bsr_sample_operator(L, buckets: Buckets, N: int, op_dtype=None, cache=None):
     """Per-sample BSR operator, packed once per (L, shape, dtype) when a
     pipeline.OperatorCache is supplied."""

@@ -127,3 +127,33 @@ def test_prefetch_over_uses_sampler():
     got = list(prefetch_over(s, lambda batch: batch[0] * 10, 4))
     assert got == [10, 20, 30, 40]
     assert s.n == 4
+
+
+@pytest.mark.parametrize("fmt", ["ell", "dense"])
+def test_device_dataset_gather_matches_host_batch(fmt):
+    """IndexedBatch.gather of the device-resident dataset equals the host
+    batcher's output for the same sample subset (any order)."""
+    from surfacenetworks_tpu.data import DeviceDataset, IndexedBatch
+
+    samples = _samples(4, seed=7)
+    buckets = Buckets.for_samples(samples)
+    ds = DeviceDataset.build(samples, lambda s: laplacian_batch([s], buckets, fmt=fmt))
+    pick = [samples[2], samples[0], samples[3]]
+    ib = ds.batch(pick)
+    gathered = jax.jit(IndexedBatch.gather)(ib.tree, ib.idx)
+    host = laplacian_batch(pick, buckets, fmt=fmt)
+    np.testing.assert_allclose(np.asarray(gathered["inputs"]), host.inputs, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gathered["targets"]), host.targets, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gathered["mask"]), host.mask)
+    _tree_eq(gathered["operator"], host.operator)
+
+
+def test_device_dataset_budget_fallback():
+    from surfacenetworks_tpu.data import DeviceDataset
+
+    samples = _samples(3, seed=8)
+    buckets = Buckets.for_samples(samples)
+    ds = DeviceDataset.build(
+        samples, lambda s: laplacian_batch([s], buckets, fmt="dense"), budget_bytes=10
+    )
+    assert ds is None  # over budget: callers keep the host path
