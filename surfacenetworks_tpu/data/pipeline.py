@@ -1,9 +1,10 @@
-"""Host input pipeline: packed-operator caching + background batch prefetch.
+"""Host input pipeline: pack-once caching, device-resident datasets,
+background prefetch, and device-side metric accumulation.
 
 The reference loads and converts every sample ONCE up front
 (normal_predict/train_4_normal.py:195-218 preload loop; sample_batch then
-only pads cached tensors), so its hot loop is GPU-bound.  The TPU-native
-equivalent here has two parts:
+only pads cached tensors) but still ships each batch to the device every
+step.  The TPU-native ladder here goes further, rung by rung:
 
 * :class:`OperatorCache` — packs each sample's operator (scipy -> ELL / BSR
   / dense / Dirac tables) exactly once per (sample, bucket shape, format)
@@ -12,14 +13,20 @@ equivalent here has two parts:
   table / V+F arrays), so replacing a sample's operator naturally invalidates
   its cache entry while plain re-batching hits.
 
-* :func:`prefetch` — assembles batch t+1 on a background thread while the
-  device runs step t (double buffering).  The jit'd step dispatch is async
-  in JAX, so the only host work left on the critical path is the dispatch
-  itself; batch assembly, padding, and host->device transfer all overlap
-  device compute.
+* :class:`DeviceDataset` / :class:`IndexedBatch` — the endpoint: the whole
+  packed dataset is device-resident as stacked ``[S, ...]`` arrays and a
+  batch is a ``[B]``-index gather fused INSIDE the jit'd train step.  With
+  the metric sums carried through the same executable
+  (:class:`MetricAccumulator` covers the host paths), a steady-state step
+  is one async dispatch and zero host->device bytes beyond the indices.
 
-Together these turn the trainers from host-bound (~16 steps/s wall at a
-~5 ms compiled step, the round-3 evidence logs) into device-bound loops.
+* :func:`prefetch` — assembles batch t+1 on a background thread while the
+  device runs step t (double buffering), for the DP/graph-parallel paths
+  whose placement is sharding-specific and stays on the host route.
+
+Together these took the trainers from host-bound (~16 steps/s wall at a
+~5 ms compiled step, the round-3 evidence logs) to device-bound loops
+(156-380 steps/s measured across the zoo, round 4).
 """
 
 from __future__ import annotations
@@ -129,134 +136,11 @@ class MetricAccumulator:
         return tuple(s / max(self.n, 1) for s in self.sums())
 
 
-def _concat_device_trees(objs: list):
-    """Concatenate a list of structurally-identical pytrees of device arrays
-    along axis 0, unifying the one per-sample static field (EllMatrix.window
-    -> max, a valid band bound for every member).  All other static fields
-    are bucket-derived and must match — a mismatch raises loudly."""
-    import jax
-    import jax.numpy as jnp
-
-    from surfacenetworks_tpu.sparse import EllMatrix
-
-    is_ell = lambda x: isinstance(x, EllMatrix)
-    leaves0, treedef = jax.tree_util.tree_flatten(objs[0], is_leaf=is_ell)
-    all_leaves = [leaves0] + [
-        jax.tree_util.tree_flatten(o, is_leaf=is_ell)[0] for o in objs[1:]
-    ]
-    out = []
-    for i in range(len(leaves0)):
-        group = [lv[i] for lv in all_leaves]
-        if is_ell(group[0]):
-            out.append(
-                EllMatrix(
-                    cols=jnp.concatenate([g.cols for g in group], axis=0),
-                    vals=jnp.concatenate([g.vals for g in group], axis=0),
-                    n_cols=group[0].n_cols,
-                    window=max(g.window for g in group),
-                )
-            )
-        else:
-            out.append(jnp.concatenate(group, axis=0))
-    return jax.tree_util.tree_unflatten(treedef, out)
-
-
-class DeviceBatcher:
-    """Device-resident per-sample batch store: upload once, batch on device.
-
-    The reference preloads every converted sample once
-    (train_4_normal.py:195-218) but still ships each batch host->device every
-    step.  Through a remote-TPU tunnel (~90 MB/s H2D measured) that transfer
-    IS the training loop; even on local PCIe it is the dominant host cost.
-    This store device-puts each sample's fully packed single-sample batch
-    exactly once and assembles training batches by concatenating the cached
-    device arrays ON DEVICE — after the first epoch no batch bytes cross the
-    host boundary at all.
-
-    ``get(key, owner, build)`` returns the device-resident single-sample
-    batch for ``key`` (building + uploading on first use; ``owner`` pins the
-    host object so identity-keyed entries can't go stale).  ``batch(keys,
-    owners, build_one)`` concatenates the per-key singles along the batch
-    axis.  A ``budget_bytes`` cap (device HBM) degrades to pass-through once
-    exceeded.
-    """
-
-    def __init__(self, build_one: Callable, budget_bytes: int = 4 << 30,
-                 value_keys: bool = False):
-        """``build_one(item) -> MeshBatch`` builds one item's B=1 batch.
-        ``value_keys=False``: items are long-lived sample dicts, cached by
-        identity (the cache pins the dict so its id stays valid).
-        ``value_keys=True``: items are hashable values (e.g. ARAP
-        ``(sequence, offset)`` picks), cached by equality."""
-        self._build_one = build_one
-        self._store: dict = {}
-        self.value_keys = value_keys
-        self.budget_bytes = budget_bytes
-        self.bytes = 0
-        self.hits = 0
-        self.misses = 0
-
-    def _put_single(self, batch):
-        """Device-put every array leaf of a MeshBatch-shaped single batch."""
-        import jax
-
-        tree = {
-            "inputs": batch.inputs,
-            "targets": batch.targets,
-            "mask": batch.mask,
-            "operator": batch.operator,
-            "faces": batch.faces,
-            "aux": batch.aux,
-        }
-        return jax.device_put(tree), batch.names
-
-    def single(self, item):
-        key = item if self.value_keys else id(item)
-        hit = self._store.get(key)
-        if hit is not None and (self.value_keys or hit[0] is item):
-            self.hits += 1
-            return hit[1], hit[2]
-        self.misses += 1
-        batch = self._build_one(item)
-        tree, names = self._put_single(batch)
-        size = _nbytes(tree)
-        if self.bytes + size <= self.budget_bytes:
-            self._store[key] = (item, tree, names)
-            self.bytes += size
-        return tree, names
-
-    def batch(self, items):
-        """Assemble a device-resident batch from per-item cached singles."""
-        from surfacenetworks_tpu.data.batching import MeshBatch
-
-        singles = [self.single(s) for s in items]
-        trees = [t for t, _ in singles]
-        names = sum((n if n else [None] for _, n in singles), [])
-        if len(trees) == 1:
-            tree = trees[0]
-        else:
-            tree = _concat_device_trees(trees)
-        return MeshBatch(
-            inputs=tree["inputs"],
-            targets=tree["targets"],
-            mask=tree["mask"],
-            operator=tree["operator"],
-            faces=tree["faces"],
-            names=names,
-            aux=tree["aux"],
-        )
-
-    def stats(self) -> str:
-        return (
-            f"device store: {len(self._store)} samples, "
-            f"{self.bytes / 1e6:.1f} MB on device, {self.hits} hits / {self.misses} misses"
-        )
-
-
 def _concat_host_trees(objs: list):
-    """Host-side analogue of :func:`_concat_device_trees`: np.concatenate the
-    leaves of structurally-identical single-sample batch trees along axis 0,
-    taking the max EllMatrix window."""
+    """np.concatenate the leaves of structurally-identical single-sample
+    batch trees along axis 0 (EllMatrix containers concatenate their array
+    fields; the per-sample static ``window`` unifies to the max, a valid
+    band bound for every member)."""
     import jax
     import numpy as np
 
