@@ -34,7 +34,6 @@ from surfacenetworks_tpu.cli.common import (
     maybe_initialize_multihost,
 )
 from surfacenetworks_tpu.data import (
-    Buckets,
     MetricAccumulator,
     OperatorCache,
     choose_operator_format,

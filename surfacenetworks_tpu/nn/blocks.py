@@ -10,6 +10,8 @@ Every block keeps the reference signature shape ``block(op, mask, x)``
 * ``MlpResNet2``      — pointwise only (BN -> ELU -> Linear twice, + input).
 * ``IdResNet2``       — neighborhood op replaced by identity (ablation;
   reference normal_predict/models.py:324-345).
+* ``GatResNet2``      — masked multi-head attention over the operator's ELL
+  pattern (revives the reference's dead GAT baseline, models.py:85-124).
 * ``WideLapResNet2`` / ``WideAvgResNet2`` — width-changing generalizations
   with configurable inner layer count and the channel-truncating/doubling
   residual (reference ``_LapResNet2``/``_AvgResNet2``,
@@ -23,7 +25,7 @@ a batched ``EllOperator``, a dense ``[B, N, N]`` array (the reference's
 from __future__ import annotations
 
 import sys
-from typing import Any, Callable
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
