@@ -450,16 +450,22 @@ def main(argv=None):
         train_sampler = EpochSampler(train_samples, args.batch_size, seed=args.seed)
         test_sampler = EpochSampler(test_samples, args.batch_size, shuffle=False)
 
-    # Whole-dataset device residency (single-device path): every sample's
-    # packed batch uploads once as stacked [S, ...] arrays; a training batch
-    # is an [B]-index gather fused INSIDE the jit'd step, so steady-state
-    # steps ship only the index vector.  One dataset per bucket tier (tier
-    # shapes differ).  DP/GP paths keep the host route (their placement is
-    # sharding-specific).
+    # Whole-dataset device residency: every sample's packed batch uploads
+    # once as stacked [S, ...] arrays; a training batch is an [B]-index
+    # gather fused INSIDE the jit'd step, so steady-state steps ship only
+    # the index vector.  One dataset per bucket tier (tier shapes differ).
+    # Under --data-parallel the dataset replicates over the mesh and the
+    # step's sharding constraints split the gathered batch on 'data'.  The
+    # GP path keeps the host route (row-sharded placement per batch).
     store_tiers = None
-    if not (n_gp or n_dp):
+    if not n_gp:
         from surfacenetworks_tpu.data import DeviceDataset
 
+        place = None
+        if n_dp:
+            from surfacenetworks_tpu.dist import replicate as _replicate_tree
+
+            place = lambda t: _replicate_tree(dmesh, t)
         store_tiers = {}
         for ti in range(len(bucketset.tiers)):
             tier_samples = [
@@ -467,7 +473,7 @@ def main(argv=None):
             ] if len(bucketset.tiers) > 1 else all_samples
             if not tier_samples:
                 continue
-            ds = DeviceDataset.build(tier_samples, lambda s: make_batch([s]))
+            ds = DeviceDataset.build(tier_samples, lambda s: make_batch([s]), place=place)
             if ds is None:  # over the HBM budget: keep the host path
                 store_tiers = None
                 break
@@ -481,18 +487,48 @@ def main(argv=None):
 
     from surfacenetworks_tpu.data import IndexedBatch, padded_vertex_count
 
-    @functools.partial(jax.jit, donate_argnums=(0, 3))
-    def train_step_idx(state, tree, idx, sums):
-        # batch gather AND metric accumulation fused into the step's single
-        # executable: a steady-state step is exactly one dispatch, no tiny
-        # eager adds (each would cost a separate device launch).  state and
-        # sums are donated (aliased in place): measured -30% step wall at
-        # flagship scale (no param/opt-state copy per step)
-        b = IndexedBatch.gather(tree, idx)
-        new_state, loss, mad = train_step(
-            state, b["operator"], b["mask"], b["inputs"], b["targets"]
-        )
-        return new_state, (sums[0] + loss, sums[1] + mad)
+    if n_dp and store_tiers is not None:
+        # DP fast path: dataset replicated over the mesh; the gathered batch
+        # is constrained to batch-axis sharding so GSPMD splits the model
+        # compute across 'data' and all-reduces the gradients — still one
+        # dispatch per step, zero per-step H2D beyond the index vector
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        _batch_sh = NamedSharding(dmesh, P("data"))
+        _rep_sh = NamedSharding(dmesh, P())
+
+        @functools.partial(jax.jit, donate_argnums=(0, 3))
+        def train_step_idx(state, tree, idx, sums):
+            b = IndexedBatch.gather(tree, idx)
+            b = jax.tree_util.tree_map(
+                lambda a: jax.lax.with_sharding_constraint(a, _batch_sh), b
+            )
+
+            def objective(params):
+                out = apply_fn(params, b["operator"], b["mask"], b["inputs"])
+                loss = losses.normal_cosine_loss(out, b["mask"], b["targets"])
+                mad = losses.mean_angle_deviation(out, b["mask"], b["targets"])
+                return loss, mad
+
+            (loss, mad), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
+            grads = jax.lax.with_sharding_constraint(
+                grads, jax.tree_util.tree_map(lambda _: _rep_sh, grads)
+            )
+            return state.apply_gradients(grads), (sums[0] + loss, sums[1] + mad)
+    else:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 3))
+        def train_step_idx(state, tree, idx, sums):
+            # batch gather AND metric accumulation fused into the step's
+            # single executable: a steady-state step is exactly one dispatch,
+            # no tiny eager adds (each would cost a separate device launch).
+            # state and sums are donated (aliased in place): measured -30%
+            # step wall at flagship scale (no param/opt-state copy per step)
+            b = IndexedBatch.gather(tree, idx)
+            new_state, loss, mad = train_step(
+                state, b["operator"], b["mask"], b["inputs"], b["targets"]
+            )
+            return new_state, (sums[0] + loss, sums[1] + mad)
 
     @jax.jit
     def eval_step_idx(params, tree, idx):

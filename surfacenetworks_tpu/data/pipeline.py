@@ -219,7 +219,11 @@ class DeviceDataset:
 
     @classmethod
     def build(cls, items, build_one: Callable, budget_bytes: int = 6 << 30,
-              value_keys: bool = False):
+              value_keys: bool = False, place: Callable | None = None):
+        """``place`` overrides the device placement of the stacked host tree
+        (default ``jax.device_put``) — e.g. ``lambda t: dist.replicate(mesh,
+        t)`` to replicate the dataset over a DP mesh so the in-jit gather
+        can be resharded batch-wise by the step's sharding constraints."""
         import jax
 
         singles = [build_one(s) for s in items]
@@ -239,7 +243,8 @@ class DeviceDataset:
             return None
         names = [b.names[0] if b.names else None for b in singles]
         index_of = {(s if value_keys else id(s)): i for i, s in enumerate(items)}
-        return cls(jax.device_put(host), names, index_of)
+        placed = place(host) if place is not None else jax.device_put(host)
+        return cls(placed, names, index_of)
 
     def indices(self, items, value_keys: bool = False):
         import numpy as np

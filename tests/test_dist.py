@@ -173,3 +173,32 @@ def test_initialize_multihost_fails_loudly(monkeypatch):
     monkeypatch.setattr(_gs, "client", object(), raising=False)
     monkeypatch.setattr(jax.distributed, "initialize", raise_connect)
     mesh_setup.initialize_multihost()  # no-op: initialize never reached
+
+
+def test_dp_fast_path_matches_single_device(tmp_path):
+    """--data-parallel with the device-resident dataset (replicated tree,
+    in-jit gather, batch-sharding constraint) reproduces the single-device
+    fast path's losses to float tolerance."""
+    import io
+    from contextlib import redirect_stderr
+
+    from surfacenetworks_tpu.cli import train_normal
+
+    common = [
+        "--synthetic", "8", "--batch-size", "4", "--layer", "2",
+        "--num-epoch", "1", "--num-updates", "5", "--no-test", "--debug",
+        "--seed", "11",
+    ]
+
+    def run(extra):
+        buf = io.StringIO()
+        with redirect_stderr(buf):
+            train_normal.main(common + extra)
+        for line in buf.getvalue().splitlines():
+            if "Train 0" in line:
+                return float(line.split("loss ")[1].split(",")[0])
+        raise AssertionError(buf.getvalue())
+
+    single = run([])
+    dp = run(["--data-parallel", "4"])
+    assert abs(single - dp) < 1e-4 * max(abs(single), 1e-6), (single, dp)
