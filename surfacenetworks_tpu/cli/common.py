@@ -48,7 +48,9 @@ class MetricsLogger:
         import json
 
         record = {"epoch": int(epoch), "split": split, "time": time.time()}
-        record.update({k: float(v) for k, v in metrics.items() if v == v})
+        # NaNs are written as-is (json NaN literal): a diverged run must show
+        # as a gap/NaN in the record, not as a silently missing key
+        record.update({k: float(v) for k, v in metrics.items()})
         with open(self.path, "a") as fp:
             fp.write(json.dumps(record) + "\n")
 

@@ -147,13 +147,18 @@ def main(argv=None):
             s_["L_pyr"] = geo_.amp_pyramid(s_["L"], levels=3)
     n_gp = args.graph_parallel if args.graph_parallel > 1 else 0
     if args.operator_format == "auto":
-        # resolve against the dataset shape: the BSR/MXU fast path (20 vs
-        # 278 us/apply at FAUST scale, BENCH r03) is the default above the
-        # small-mesh window, not opt-in (round-3 verdict item 2)
+        # resolve against the dataset shape with the SAME policy as
+        # train_normal (batching.choose_operator_format): the BSR/MXU fast
+        # path (20 vs 278 us/apply at FAUST scale, BENCH r03) is the default
+        # above the dense window, not opt-in (round-3 verdict item 2); this
+        # trainer has no dense trunk path, so the dense window maps to ell
+        from surfacenetworks_tpu.data import choose_operator_format, round_up
+
         nv_max = max(s["V"].shape[0] for s in data)
-        args.operator_format = (
-            "bsr" if (model_key == "lap" and not n_gp and nv_max > 2048) else "ell"
+        resolved = choose_operator_format(
+            1, round_up(nv_max, 8), rcm_ok=(model_key == "lap" and not n_gp)
         )
+        args.operator_format = "bsr" if resolved == "bsr" else "ell"
         log(f"operator format auto -> {args.operator_format}")
     use_bsr = args.operator_format == "bsr" and model_key == "lap"
     if n_gp and model_key not in ("lap", "dirac"):

@@ -90,6 +90,8 @@ def main(argv=None):
     n_gp = args.graph_parallel if args.graph_parallel > 1 else 0
     if n_gp and model_key not in ("lap", "dirac"):
         raise SystemExit("--graph-parallel supports the lap and dirac models")
+    if n_gp and args.data_parallel > 1:
+        raise SystemExit("--graph-parallel and --data-parallel are mutually exclusive here")
     if n_gp:
         from surfacenetworks_tpu.data import rcm_reorder_sample
 

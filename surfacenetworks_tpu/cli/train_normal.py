@@ -404,10 +404,8 @@ def main(argv=None):
         return op_d, arrs
 
     def run_train_step(state, batch):
-        from surfacenetworks_tpu.data import IndexedBatch
-
-        if isinstance(batch, IndexedBatch):
-            return train_step_idx(state, batch.tree, batch.idx)
+        # host-path dispatch only: IndexedBatch steps go straight through
+        # train_step_idx in the epoch loop (they carry the metric sums)
         if n_dp:
             b = shard_batch(dmesh, {
                 "operator": batch.operator,

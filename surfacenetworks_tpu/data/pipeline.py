@@ -76,9 +76,26 @@ class OperatorCache:
         self.misses += 1
         value = build()
         size = _nbytes(value)
+        if hit is not None:
+            # stale entry (owner replaced at a reused id): reclaim its budget
+            self.bytes -= _nbytes(hit[1])
+            del self._store[k]
         if self.bytes + size <= self.budget_bytes:
             self._store[k] = (owners, value)
             self.bytes += size
+        elif not getattr(self, "_warned", False):
+            # degrade to pass-through LOUDLY: every further miss repacks from
+            # scipy each batch — the host-bound regime this cache exists to
+            # prevent
+            import warnings
+
+            warnings.warn(
+                f"OperatorCache budget ({self.budget_bytes / 1e9:.1f} GB) exceeded "
+                f"after {len(self._store)} entries; further operators repack "
+                "every batch (raise budget_bytes to keep the pack-once behavior)",
+                stacklevel=2,
+            )
+            self._warned = True
         return value
 
     def clear(self) -> None:
@@ -212,10 +229,14 @@ class DeviceDataset:
     exceeds ``budget_bytes`` (callers keep the host path).
     """
 
-    def __init__(self, tree, names, index_of):
+    def __init__(self, tree, names, index_of, items=None):
         self.tree = tree
         self.names = names
         self._index_of = index_of
+        # pin the items: identity keys stay valid only while the objects
+        # live — without this, a freed sample list lets CPython reuse ids and
+        # indices() could silently resolve an unrelated object
+        self._items = items
 
     @classmethod
     def build(cls, items, build_one: Callable, budget_bytes: int = 6 << 30,
@@ -226,6 +247,7 @@ class DeviceDataset:
         can be resharded batch-wise by the step's sharding constraints."""
         import jax
 
+        items = list(items)
         singles = [build_one(s) for s in items]
         trees = [
             {
@@ -244,7 +266,7 @@ class DeviceDataset:
         names = [b.names[0] if b.names else None for b in singles]
         index_of = {(s if value_keys else id(s)): i for i, s in enumerate(items)}
         placed = place(host) if place is not None else jax.device_put(host)
-        return cls(placed, names, index_of)
+        return cls(placed, names, index_of, items=items)
 
     def indices(self, items, value_keys: bool = False):
         import numpy as np

@@ -89,12 +89,21 @@ def _walk(jaxpr) -> dict[str, Any]:
                 # OR the outvar taints across all sub-jaxprs (cond: either
                 # branch may execute, so an output is tainted if tainted in
                 # ANY branch; eqn outvars align with inner outvars from the
-                # start in cond/pjit/scan/custom_vjp alike)
+                # start in cond/pjit/scan/custom_vjp alike).  If an inner
+                # jaxpr yields MORE outvars than the eqn exposes (alignment
+                # assumption broken by a new primitive), any tainted surplus
+                # conservatively taints every output — over-counting
+                # boundary_dep is safe, silently dropping taint is not.
                 out_t = [False] * len(e.outvars)
+                surplus_taint = False
                 for sub in subs:
                     for i, t in enumerate(walk(sub, in_t, count=count)):
                         if i < len(out_t):
                             out_t[i] = out_t[i] or t
+                        else:
+                            surplus_taint = surplus_taint or t
+                if surplus_taint:
+                    out_t = [True] * len(out_t)
                 for v, t in zip(e.outvars, out_t):
                     taint[id(v)] = t or dep
                 continue

@@ -220,7 +220,12 @@ def gat_attend(op, xh, s_src, s_dst, negative_slope: float = 0.2):
         out = jnp.zeros_like(xh)
         for k in range(K):
             out = out + A[:, k, :, None] * jnp.take(xh, cols[:, k], axis=0)
-        return out
+        # rows with NO valid slot (bucket padding) get a uniform softmax over
+        # the -1e9 fill and would gather vertex 0's features — zero them so
+        # padded rows stay inert like the Lap/Avg operator rows (their
+        # garbage would otherwise leak into the unmasked BatchNorm stats)
+        row_valid = (vals != 0).any(axis=1)
+        return out * row_valid[:, None, None]
 
     if m.cols.ndim == 2:
         return single(m.cols, m.vals, xh, s_src, s_dst)

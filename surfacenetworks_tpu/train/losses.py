@@ -108,7 +108,13 @@ def corr_feature_smoothness(op, f):
 
     fn = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-9)
     scores = sddmm(op, fn, fn)  # [B, N, K] at the pattern slots
-    w = jnp.abs(op.fwd.vals)
+    # exclude the Laplacian's diagonal self-entries: cos(f_i, f_i) == 1 is a
+    # constant with zero gradient, and |diag| carries ~half the cotan weight
+    # mass — keeping it would dilute the neighbor signal ~2x and offset the
+    # reported value
+    cols = op.fwd.cols
+    rows = jnp.arange(cols.shape[-2])[:, None]
+    w = jnp.abs(op.fwd.vals) * (cols != rows)
     return -jnp.sum(w * scores) / (jnp.sum(w) + 1e-9)
 
 

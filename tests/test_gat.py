@@ -75,3 +75,23 @@ def test_gat_trainer_smoke(tmp_path):
             "--result-dir", str(tmp_path), "--debug",
         ]
     )
+
+
+def test_gat_padded_rows_stay_zero():
+    """Bucket-padded rows (no valid slots) must output exact zeros — not
+    vertex 0's features — so they cannot leak into unmasked BatchNorm
+    statistics (round-4 review finding)."""
+    op, L = _op(seed=6)
+    n = L.shape[0]
+    N = n + 24  # pad the bucket
+    import scipy.sparse as sp_
+
+    Lp = sp_.csr_matrix((L.data, L.indices, np.concatenate([L.indptr, [L.indptr[-1]] * 24])), shape=(N, N))
+    opp = sps.operator_from_scipy(Lp)
+    H, ch = 2, 4
+    rng = np.random.default_rng(2)
+    xh = rng.normal(size=(N, H, ch)).astype(np.float32)
+    s = rng.normal(size=(N, H)).astype(np.float32)
+    out = np.asarray(gat_attend(opp, jnp.asarray(xh), jnp.asarray(s), jnp.asarray(s)))
+    assert np.abs(out[n:]).max() == 0.0
+    assert np.abs(out[:n]).max() > 0.0

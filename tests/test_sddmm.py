@@ -133,6 +133,7 @@ def test_corr_feature_smoothness_matches_dense():
 
     fn = f[0] / np.maximum(np.linalg.norm(f[0], axis=-1, keepdims=True), 1e-9)
     W = np.abs(L.toarray())
+    np.fill_diagonal(W, 0.0)  # self-cosine is constant: excluded
     S = fn @ fn.T
     want = -float((W * S).sum() / (W.sum() + 1e-9))
     np.testing.assert_allclose(got, want, rtol=1e-4)
