@@ -89,6 +89,9 @@ parser.add_argument("--deser", default=None)
 parser.add_argument("--only-forward-test", action="store_true")
 parser.add_argument("--dump-dir", default="/tmp")
 parser.add_argument("--debug", action="store_true")
+parser.add_argument("--no-device-store", action="store_true",
+                    help="disable the device-resident dataset fast path "
+                         "(host batch assembly every step; for A/B checks)")
 parser.add_argument("--seed", type=int, default=17)
 parser.add_argument("--jax-profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the first training epoch")
@@ -456,7 +459,7 @@ def main(argv=None):
     # step's sharding constraints split the gathered batch on 'data'.  The
     # GP path keeps the host route (row-sharded placement per batch).
     store_tiers = None
-    if not n_gp:
+    if not n_gp and not args.no_device_store:
         from surfacenetworks_tpu.data import DeviceDataset
 
         place = None

@@ -157,3 +157,32 @@ def test_device_dataset_budget_fallback():
         samples, lambda s: laplacian_batch([s], buckets, fmt="dense"), budget_bytes=10
     )
     assert ds is None  # over budget: callers keep the host path
+
+
+def test_store_path_matches_host_path():
+    """The device-resident fast loop reproduces the host-assembly loop's
+    losses (guards the in-jit gather + in-step accumulation against silent
+    batch-content drift)."""
+    import io
+    from contextlib import redirect_stderr
+
+    from surfacenetworks_tpu.cli import train_normal
+
+    common = [
+        "--synthetic", "6", "--batch-size", "2", "--layer", "2",
+        "--num-epoch", "1", "--num-updates", "5", "--no-test", "--debug",
+        "--seed", "13",
+    ]
+
+    def run(extra):
+        buf = io.StringIO()
+        with redirect_stderr(buf):
+            train_normal.main(common + extra)
+        for line in buf.getvalue().splitlines():
+            if "Train 0" in line:
+                return float(line.split("loss ")[1].split(",")[0])
+        raise AssertionError(buf.getvalue())
+
+    store = run([])
+    host = run(["--no-device-store"])
+    assert abs(store - host) < 1e-4 * max(abs(host), 1e-6), (store, host)
