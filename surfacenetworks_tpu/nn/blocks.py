@@ -208,18 +208,25 @@ def gat_attend(op, xh, s_src, s_dst, negative_slope: float = 0.2):
         raise TypeError("gat_attend needs an EllOperator (pattern source)")
 
     def single(cols, vals, xh, s_src, s_dst):
+        N, H, ch = xh.shape
         K = cols.shape[1]
+        # ONE gather per slot: the destination scores ride along with the
+        # features ([N, H*ch + H] rows, full-lane width) instead of a second
+        # narrow [N, H] gather — halves the gather-issue count, which is
+        # what bounds this formulation (same model as the Dirac applies)
+        payload = jnp.concatenate([xh.reshape(N, H * ch), s_dst], axis=-1)
+        gathered = []
         scores = []
         for k in range(K):
-            e_k = jax.nn.leaky_relu(
-                s_src + jnp.take(s_dst, cols[:, k], axis=0), negative_slope
-            )
+            g = jnp.take(payload, cols[:, k], axis=0)  # [N, H*ch + H]
+            gathered.append(g[:, : H * ch])
+            e_k = jax.nn.leaky_relu(s_src + g[:, H * ch :], negative_slope)
             scores.append(jnp.where(vals[:, k : k + 1] != 0, e_k, -1e9))
         E = jnp.stack(scores, axis=1)  # [N, K, H]
         A = jax.nn.softmax(E, axis=1)
-        out = jnp.zeros_like(xh)
+        out = jnp.zeros((N, H, ch), xh.dtype)
         for k in range(K):
-            out = out + A[:, k, :, None] * jnp.take(xh, cols[:, k], axis=0)
+            out = out + A[:, k, :, None] * gathered[k].reshape(N, H, ch)
         # rows with NO valid slot (bucket padding) get a uniform softmax over
         # the -1e9 fill and would gather vertex 0's features — zero them so
         # padded rows stay inert like the Lap/Avg operator rows (their
