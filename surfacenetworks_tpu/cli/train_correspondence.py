@@ -97,6 +97,9 @@ LOSSES = {
     "dcel": losses.corr_delta_cross_entropy,
 }
 
+# test hook: force the light (host-target) fast path regardless of size
+_FORCE_LIGHT = False
+
 
 def _rotate(V, rng, xz, xy):
     if xz:
@@ -404,7 +407,20 @@ def main(argv=None):
     # ------------------------------------------------------------------
     N_b = buckets.n_vertices
     est_bytes = len(data) * (N_b * N_b * 4 + 40 * N_b * 4)
-    use_fast = not n_gp and jax.process_count() == 1 and est_bytes < (10 << 30)
+    fits_device = est_bytes < (10 << 30)
+    # 'light' fast path: when the per-sample [N, N] geodesic matrices exceed
+    # the HBM budget but the loss is dcel, only the per-pair argmin TARGETS
+    # (computed host-side, chunked) go on device — training cost becomes
+    # O(N) in memory, which is what lets 50k-vertex meshes train end-to-end
+    # on one chip (the reference caps at 7000)
+    use_fast = not n_gp and jax.process_count() == 1 and (
+        fits_device or args.loss == "dcel"
+    )
+    light = use_fast and args.loss == "dcel" and (not fits_device or _FORCE_LIGHT)
+    if light:
+        log(f"light fast path: geodesic matrices stay on host "
+            f"(est {est_bytes / 1e9:.1f} GB > HBM budget); dcel targets "
+            "computed host-side per pair and cached on device")
     smooth_w = float(args.smooth_reg)
     if smooth_w > 0 and not use_fast:
         raise SystemExit("--smooth-reg requires the single-device fast path "
@@ -423,20 +439,19 @@ def main(argv=None):
         )
         G, lab, li = pack.targets
         n = sample["V"].shape[0]
-        G_pad = np.zeros((N_b, N_b), np.float32)
-        G_pad[: G.shape[0], : G.shape[1]] = G
-        lab_pad = np.zeros(N_b, np.int32)
-        lab_pad[: lab.shape[0]] = lab
-        li_pad = np.zeros(N_b, np.int32)
-        li_pad[: li.shape[0]] = li
         tree = {
             "op": pack.operator,
             "mask": pack.mask,
             "inputs": pack.inputs,
-            "G": G_pad,
-            "l": lab_pad,
-            "li": li_pad,
         }
+        if not light:
+            G_pad = np.zeros((N_b, N_b), np.float32)
+            G_pad[: G.shape[0], : G.shape[1]] = G
+            lab_pad = np.zeros(N_b, np.int32)
+            lab_pad[: lab.shape[0]] = lab
+            li_pad = np.zeros(N_b, np.int32)
+            li_pad[: li.shape[0]] = li
+            tree.update({"G": G_pad, "l": lab_pad, "li": li_pad})
         if smooth_w > 0:
             # ELL pattern operator for the SDDMM smoothness regularizer
             # (the trunk may run BSR; the pattern stays ELL)
@@ -488,15 +503,43 @@ def main(argv=None):
         )
         return jnp.argmin(GAB, axis=-1).astype(jnp.int32)
 
+    def _host_pair_target(sa, sb):
+        """Chunked host replica of _pair_target for the light path: argmin of
+        ``GA[:, liA[lB]] + GB[liB[lA], :]`` over the valid columns, row
+        blocks bounded to ~512 MB so 50k-vertex pairs never materialize the
+        [N, N] sum.  Rows >= na keep target 0 — identical to the padded
+        device semantics (zeros rows, +1e9 padded columns)."""
+        GA = np.asarray(sa["G"], np.float32)
+        GB = np.asarray(sb["G"], np.float32)
+        lA = np.asarray(sa["label"])
+        liA = np.asarray(sa["label_inv"])
+        lB = np.asarray(sb["label"])
+        liB = np.asarray(sb["label_inv"])
+        na, nb = GA.shape[0], GB.shape[0]
+        cols = liA[lB]  # [nb]
+        rows = liB[lA]  # [na]
+        target = np.zeros(N_b, np.int32)
+        chunk = max(1, (128 << 20) // max(nb * 4, 1))
+        for i0 in range(0, na, chunk):
+            i1 = min(i0 + chunk, na)
+            block = GA[i0:i1][:, cols] + GB[rows[i0:i1], :]
+            target[i0:i1] = np.argmin(block, axis=1).astype(np.int32)
+        return target
+
     _target_cache: dict = {}
 
     def pair_target(ia, ib):
         key = (ia, ib)
         t = _target_cache.get(key)
         if t is None:
-            da, na = dev_sample(data[ia])
-            db, nb = dev_sample(data[ib])
-            t = _pair_target(da, db, na, nb)
+            if light:
+                t = jax.device_put(
+                    jnp.asarray(_host_pair_target(data[ia], data[ib]))
+                )
+            else:
+                da, na = dev_sample(data[ia])
+                db, nb = dev_sample(data[ib])
+                t = _pair_target(da, db, na, nb)
             _target_cache[key] = t
         return t
 
@@ -670,6 +713,13 @@ def main(argv=None):
 
         n_test_lo = n_train
         test_ids = list(range(n_test_lo, len(data)))
+        if test_ids and light:
+            if epoch == 0:
+                log("light fast path: per-epoch eval skipped — the [N, N] "
+                    "geodesic aggregation exceeds device memory at this scale; "
+                    "train with --full-train and evaluate offline from the "
+                    "checkpoint")
+            test_ids = []
         if test_ids:
             pairs = list(itertools.product(test_ids, repeat=2))
             if not args.complete_test:
@@ -677,7 +727,7 @@ def main(argv=None):
             loss_sum = 0.0
             msum: dict = {}
             for i, j in pairs:
-                if use_fast:
+                if use_fast and not light:
                     da, na = dev_sample(data[i])
                     db, nb = dev_sample(data[j])
                     rots = _angles() + _angles()

@@ -182,8 +182,14 @@ def synthetic_correspondence_dataset(num: int, n_points: int = 200, seed: int = 
     rng = np.random.default_rng(seed)
     base_V, F = random_blob_mesh(rng, n_points)
     n = base_V.shape[0]
-    # geodesic proxy: euclidean distances on the base shape
-    G = np.linalg.norm(base_V[:, None, :] - base_V[None, :, :], axis=-1).astype(np.float32)
+    # geodesic proxy: euclidean distances on the base shape (row-chunked —
+    # the [n, n, 3] difference intermediate would be 30 GB at 50k vertices)
+    Vf = base_V.astype(np.float32)
+    G = np.empty((n, n), np.float32)
+    chunk = max(1, (256 << 20) // max(n * 12, 1))
+    for i0 in range(0, n, chunk):
+        d = Vf[i0 : i0 + chunk, None, :] - Vf[None, :, :]
+        G[i0 : i0 + chunk] = np.sqrt((d * d).sum(-1))
     out = []
     for i in range(num):
         a = rng.uniform(-0.2, 0.2, size=3)

@@ -128,3 +128,29 @@ def test_correspondence_training_reaches_accuracy():
     assert float(m["exact"]) > 0.9, float(m["exact"])
     assert float(m["geo_q50"]) == 0.0
     assert float(m["geo_q50"]) <= float(m["geo_q75"])
+
+
+def test_light_path_matches_full_fast_path(monkeypatch, tmp_path):
+    """The light fast path (host-side chunked dcel targets, no [N, N]
+    device residency) reproduces the full fast path's training losses —
+    i.e. the chunked host argmin equals the in-jit padded aggregation."""
+    import surfacenetworks_tpu.cli.train_correspondence as mod
+
+    common = [
+        "--synthetic", "3", "--layer", "2", "--num-epoch", "1",
+        "--num-updates", "4", "--deser-option", "no", "--full-train",
+        "--seed", "23",
+    ]
+
+    def run(force_light, tag):
+        monkeypatch.setattr(mod, "_FORCE_LIGHT", force_light)
+        mod.main(common + ["--result-dir", str(tmp_path / tag), "--result-prefix", tag])
+        txt = open(tmp_path / tag / "log" / f"{tag}.log").read()
+        for line in txt.splitlines():
+            if "Train epoch 0" in line:
+                return float(line.split("loss ")[1].split(",")[0])
+        raise AssertionError(txt)
+
+    full = run(False, "full")
+    light = run(True, "lite")
+    assert abs(full - light) < 1e-4 * max(abs(full), 1e-6), (full, light)
