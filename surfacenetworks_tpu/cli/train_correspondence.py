@@ -87,6 +87,11 @@ parser.add_argument("--smooth-reg", type=float, default=0.0,
                          "SDDMM consumer: trunk-feature cosine scores sampled "
                          "only at the operator pattern, no N x N matrix; "
                          "single-device fast path only")
+parser.add_argument("--eval-only", action="store_true",
+                    help="no training: restore the checkpoint and report "
+                         "FAUST metrics over the test pairs with HOST-side "
+                         "metric computation (O(N) memory — works at 50k "
+                         "vertices where the [N, N] device eval cannot)")
 parser.add_argument("--seed", type=int, default=17)
 add_multihost_flags(parser)
 config.add_config_flags(parser)
@@ -670,6 +675,55 @@ def main(argv=None):
             np.float32(rng_np.uniform(0, 2 * np.pi)) if args.xy_rotate else np.float32(0),
         )
 
+    if args.eval_only:
+        # Offline eval: streaming argmax predictions on device (block-tiled,
+        # no [N, N] scores), metrics on the HOST via O(N) fancy indexing —
+        # the eval story for light-mode (50k-vertex) checkpoints whose
+        # geodesic matrices never fit HBM.
+        if not use_fast:
+            raise SystemExit("--eval-only needs the single-device fast path")
+
+        @jax.jit
+        def _predict(params, da, db):
+            fa, fb = features(
+                params, da["op"], da["mask"], da["inputs"],
+                db["op"], db["mask"], db["inputs"],
+            )
+            return losses.streaming_corr_argmax(
+                fa[0].astype(jnp.float32), fb[0].astype(jnp.float32),
+                db["mask"][0, :, 0],
+            )
+
+        def _host_metrics(pred, sa, sb):
+            lA = np.asarray(sa["label"])
+            lB = np.asarray(sb["label"])
+            liB = np.asarray(sb["label_inv"])
+            GB = np.asarray(sb["G"], np.float32)
+            na = lA.shape[0]
+            p = np.asarray(pred)[:na]
+            exact = float((lB[p] == lA).mean())
+            geo = GB[liB[lA], p]
+            return {
+                "exact": exact,
+                "geo_mean": float(geo.mean()),
+                "geo_q25": float(np.quantile(geo, 0.25)),
+                "geo_q50": float(np.quantile(geo, 0.50)),
+                "geo_q75": float(np.quantile(geo, 0.75)),
+            }
+
+        eval_ids = list(range(n_train, len(data))) or list(range(len(data)))
+        pairs = list(itertools.product(eval_ids, repeat=2))
+        msum: dict = {}
+        for i, j in pairs:
+            da, _ = dev_sample(data[i])
+            db, _ = dev_sample(data[j])
+            pred = _predict(state.params, da, db)
+            for k, v in _host_metrics(pred, data[i], data[j]).items():
+                msum[k] = msum.get(k, 0.0) + v
+        mstr = " ".join(f"{k} {msum[k] / len(pairs):.4f}" for k in sorted(msum))
+        log(f"Eval-only over {len(pairs)} pairs: {mstr}")
+        return
+
     for epoch in range(args.num_epoch):
         loss_sum = 0.0
         meter = Throughput()
@@ -751,6 +805,12 @@ def main(argv=None):
 
         if epoch % 10 == 9:
             checkpoint.save_checkpoint(ckpt_path, state.params, state.opt_state, epoch, int(state.step))
+
+    # final save regardless of epoch count (short runs and --eval-only
+    # round-trips need it; matches train_normal's end-of-run checkpoint)
+    checkpoint.save_checkpoint(
+        ckpt_path, state.params, state.opt_state, args.num_epoch - 1, int(state.step)
+    )
 
 
 if __name__ == "__main__":

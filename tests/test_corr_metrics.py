@@ -154,3 +154,28 @@ def test_light_path_matches_full_fast_path(monkeypatch, tmp_path):
     full = run(False, "full")
     light = run(True, "lite")
     assert abs(full - light) < 1e-4 * max(abs(full), 1e-6), (full, light)
+
+
+def test_eval_only_roundtrip(tmp_path):
+    """Train briefly, then --eval-only restores the final checkpoint and
+    reports host-computed FAUST metrics consistent with the in-training
+    eval (the O(N)-memory eval story for light-mode checkpoints)."""
+    from surfacenetworks_tpu.cli import train_correspondence
+
+    common = ["--synthetic", "3", "--layer", "2", "--seed", "29"]
+    train_correspondence.main(
+        common + [
+            "--num-epoch", "1", "--num-updates", "6", "--deser-option", "no",
+            "--result-prefix", "t", "--result-dir", str(tmp_path),
+        ]
+    )
+    train_correspondence.main(
+        common + [
+            "--eval-only", "--deser-path", str(tmp_path / "pts" / "t_state.msgpack"),
+            "--result-prefix", "e", "--result-dir", str(tmp_path),
+        ]
+    )
+    txt = open(tmp_path / "log" / "e.log").read()
+    assert "Eval-only over" in txt
+    exact = float(txt.split("exact ")[1].split(" ")[0])
+    assert 0.0 <= exact <= 1.0
