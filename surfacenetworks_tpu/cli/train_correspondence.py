@@ -92,6 +92,12 @@ parser.add_argument("--eval-only", action="store_true",
                          "FAUST metrics over the test pairs with HOST-side "
                          "metric computation (O(N) memory — works at 50k "
                          "vertices where the [N, N] device eval cannot)")
+parser.add_argument("--no-epoch-scan", action="store_true",
+                    help="opt out of the pair-grouped chunk dispatch (dcel "
+                         "fast path only) and dispatch each update "
+                         "separately — for debugging; the chunked path runs "
+                         "the same update multiset per epoch (identical "
+                         "order when a single train pair exists)")
 parser.add_argument("--seed", type=int, default=17)
 add_multihost_flags(parser)
 config.add_config_flags(parser)
@@ -548,6 +554,87 @@ def main(argv=None):
             _target_cache[key] = t
         return t
 
+    # ------------------------------------------------------------------
+    # Pair-grouped chunk dispatch (dcel fast path).  The per-step dispatch
+    # of the fast path costs ~3-5 ms of host time through the remote-TPU
+    # tunnel (two operator pytrees + masks + inputs + six scalar uploads
+    # per call), capping the 7k FAUST flagship at ~156 wall steps/s against
+    # a ~280 steps/s device ceiling (round-4 bench).  Design notes, all
+    # MEASURED on the round-5 rig:
+    #   * a lax.scan over the epoch with per-iteration operator GATHERS
+    #     from a stacked device store runs the step at 6.9 ms vs 3.7 ms —
+    #     a dynamically-sliced operator consumed under value_and_grad
+    #     defeats XLA's loop-invariant treatment of the SpMM operands
+    #     (~+16 us per fwd+bwd apply x ~100 applies); forward-only applies
+    #     show NO such penalty, and neither stop_gradient, bf16 block
+    #     storage, one-hot gathers nor optimization_barrier recover it;
+    #   * operators passed as loop-INVARIANT jit arguments keep the step
+    #     at its 3.7 ms compiled cost.
+    # So: group the epoch's updates by (shape A, shape B) pair and dispatch
+    # ONE executable per distinct pair — a fori_loop with a RUNTIME trip
+    # count (one compile for every chunk length) whose body replays exactly
+    # the per-step math over that pair's updates (each update keeps its own
+    # rotation draw).  The epoch's update multiset is identical to the
+    # per-step path's — only the within-epoch ORDER is permuted (exactly
+    # identical when one pair exists, e.g. n_train == 1; pinned by
+    # tests/test_corr_metrics.py).  Host cost: ~n_pairs dispatches per
+    # epoch instead of num_updates, each overlapping device compute.
+    # Reference hot loop this collapses: dense_correspondence/main.py:312-326.
+    # ------------------------------------------------------------------
+    use_chunks = use_fast and args.loss == "dcel" and not args.no_epoch_scan
+
+    @functools.partial(jax.jit, donate_argnums=(0, 6))
+    def train_chunk(state, da, db, rots_v, k, target, sums):
+        def body(i, carry):
+            state, sums = carry
+            rots = rots_v[i]
+            Ra = _rot_matrix(rots[0], rots[1])
+            Rb = _rot_matrix(rots[2], rots[3])
+            inx = da["inputs"] @ Ra
+            iny = db["inputs"] @ Rb
+
+            def objective(params):
+                if use_stream or smooth_w > 0:
+                    fa, fb = features(
+                        params, da["op"], da["mask"], inx, db["op"], db["mask"], iny
+                    )
+                if use_stream:
+                    loss = losses.corr_dcel_streaming(
+                        fa[0].astype(jnp.float32), fb[0].astype(jnp.float32), target
+                    )
+                else:
+                    if smooth_w > 0:
+                        out = jnp.einsum(
+                            "bnc,bmc->bnm", fa, fb, preferred_element_type=jnp.float32
+                        )
+                    else:
+                        out = forward(
+                            params, da["op"], da["mask"], inx, db["op"], db["mask"], iny
+                        )
+                    loss = losses.corr_delta_cross_entropy_from_target(out[0], target)
+                if smooth_w > 0:
+                    loss = loss + smooth_w * (
+                        losses.corr_feature_smoothness(da["reg_op"], fa)
+                        + losses.corr_feature_smoothness(db["reg_op"], fb)
+                    )
+                return loss, ()
+
+            (loss, _), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
+            return (state.apply_gradients(grads), sums + loss)
+
+        return jax.lax.fori_loop(0, k, body, (state, sums))
+
+    def _epoch_plan():
+        """The epoch's (pair indices, rotation angles), drawn with the SAME
+        rng call order as the per-step loop so both paths see the same
+        update multiset."""
+        pair_idx = np.zeros((args.num_updates, 2), np.int32)
+        rots_v = np.zeros((args.num_updates, 4), np.float32)
+        for u in range(args.num_updates):
+            pair_idx[u] = rng_np.integers(0, n_train, size=2)
+            rots_v[u] = _angles() + _angles()
+        return pair_idx, rots_v
+
     @functools.partial(jax.jit, donate_argnums=(0, 7))
     def train_step_fast(state, da, db, rots, target, na, nb, sums):
         Ra = _rot_matrix(rots[0], rots[1])
@@ -724,10 +811,47 @@ def main(argv=None):
         log(f"Eval-only over {len(pairs)} pairs: {mstr}")
         return
 
+    # Dispatch-queue guard for the chunked path: past ~128 queued
+    # executions the tunnel's dispatch pipeline degrades badly (measured:
+    # dispatching two 87-chunk epochs ahead collapsed throughput 184 -> ~80
+    # steps/s).  Normal epochs (<= 128 distinct pairs) never trip it; a
+    # huge-pair-count epoch pays one ~24 ms host round trip per excess
+    # chunk, which is the cheaper failure mode.  NOTE a one-epoch-deferred
+    # loss fetch was tried and measured WORSE than the per-epoch float()
+    # (each block_until_ready round-trips ~24 ms even on ready arrays).
+    _inflight: list = []
+
+    def _throttle(handle, depth=128):
+        _inflight.append(handle)
+        if len(_inflight) > depth:
+            jax.block_until_ready(_inflight.pop(0))
+
     for epoch in range(args.num_epoch):
         loss_sum = 0.0
         meter = Throughput()
-        if use_fast:
+        if use_chunks:
+            pair_idx, rots_v = _epoch_plan()
+            groups: dict = {}
+            for u, (ia, ib) in enumerate(pair_idx):
+                groups.setdefault((int(ia), int(ib)), []).append(u)
+            sums = jnp.float32(0)
+            for (ia, ib), rows in groups.items():
+                da, _na = dev_sample(data[ia])
+                db, _nb = dev_sample(data[ib])
+                target = pair_target(ia, ib)
+                # fixed [num_updates, 4] aval so every chunk length shares
+                # one executable (the fori_loop trip count is runtime data)
+                rv = np.zeros((args.num_updates, 4), np.float32)
+                rv[: len(rows)] = rots_v[rows]
+                state, sums = train_chunk(
+                    state, da, db, jnp.asarray(rv),
+                    jnp.asarray(len(rows), jnp.int32), target, sums,
+                )
+                _throttle(sums)
+            loss_sum = float(sums)
+            _inflight.clear()
+            meter.steps += args.num_updates
+        elif use_fast:
             sums = jnp.float32(0)
             zero_target = jnp.zeros(buckets.n_vertices, jnp.int32)
             for u in range(args.num_updates):
@@ -760,10 +884,11 @@ def main(argv=None):
                 accum(fetch.push(loss))
                 meter.tick()
             accum(fetch.flush())
-        log(f"Train epoch {epoch}, loss {loss_sum / args.num_updates}, {meter.report()}")
-        metrics_log.write(
-            epoch, "train", loss=loss_sum / args.num_updates, steps_per_s=meter.steps_per_s
-        )
+        if loss_sum is not None:
+            log(f"Train epoch {epoch}, loss {loss_sum / args.num_updates}, {meter.report()}")
+            metrics_log.write(
+                epoch, "train", loss=loss_sum / args.num_updates, steps_per_s=meter.steps_per_s
+            )
 
         n_test_lo = n_train
         test_ids = list(range(n_test_lo, len(data)))

@@ -185,6 +185,42 @@ def _concat_host_trees(objs: list):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def stack_device_trees(objs: list):
+    """``jnp.stack`` the leaves of structurally-identical device trees along
+    a NEW leading axis — the device-side analogue of
+    :func:`_concat_host_trees`, used to build sample stores that jit'd steps
+    index with traced ``[()]`` ints (the correspondence epoch-scan path).
+    EllMatrix members unify their static ``window`` to the group max (a
+    valid band bound for every member); all other static metadata must
+    already agree (shared bucket config guarantees it).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from surfacenetworks_tpu.sparse import EllMatrix
+
+    is_ell = lambda x: isinstance(x, EllMatrix)
+    leaves0, treedef = jax.tree_util.tree_flatten(objs[0], is_leaf=is_ell)
+    all_leaves = [leaves0] + [
+        jax.tree_util.tree_flatten(o, is_leaf=is_ell)[0] for o in objs[1:]
+    ]
+    out = []
+    for i in range(len(leaves0)):
+        group = [lv[i] for lv in all_leaves]
+        if is_ell(group[0]):
+            out.append(
+                EllMatrix(
+                    cols=jnp.stack([g.cols for g in group]),
+                    vals=jnp.stack([g.vals for g in group]),
+                    n_cols=group[0].n_cols,
+                    window=max(g.window for g in group),
+                )
+            )
+        else:
+            out.append(jnp.stack(group))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 class IndexedBatch:
     """A device-resident dataset tree + the row indices of one batch.
 

@@ -179,3 +179,36 @@ def test_eval_only_roundtrip(tmp_path):
     assert "Eval-only over" in txt
     exact = float(txt.split("exact ")[1].split(" ")[0])
     assert 0.0 <= exact <= 1.0
+
+
+def test_epoch_scan_matches_per_step_path(tmp_path):
+    """The pair-grouped chunk dispatch (round-5 dispatch-gap fix) reproduces
+    the per-step fast path's training losses exactly when a single train
+    pair exists (grouping is then the identity ordering): same rng draw
+    order, same per-step math, rotation augmentation included."""
+    from surfacenetworks_tpu.cli import train_correspondence
+
+    common = [
+        "--synthetic", "1", "--synthetic-points", "200", "--layer", "2",
+        "--num-epoch", "2", "--num-updates", "5", "--deser-option", "no",
+        "--full-train", "--xz-rotate", "--xy-rotate", "--seed", "31",
+    ]
+
+    def losses_of(tag, extra):
+        train_correspondence.main(
+            common + extra + [
+                "--result-dir", str(tmp_path / tag), "--result-prefix", tag,
+            ]
+        )
+        txt = open(tmp_path / tag / "log" / f"{tag}.log").read()
+        return [
+            float(line.split("loss ")[1].split(",")[0])
+            for line in txt.splitlines()
+            if "Train epoch" in line
+        ]
+
+    scan = losses_of("scan", [])
+    step = losses_of("step", ["--no-epoch-scan"])
+    assert len(scan) == 2 and len(step) == 2
+    for a, b in zip(scan, step):
+        assert abs(a - b) < 1e-4 * max(abs(a), 1e-6), (scan, step)
