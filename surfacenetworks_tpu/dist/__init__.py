@@ -32,6 +32,7 @@ from surfacenetworks_tpu.dist.edge_partition import (
     suggest_halo,
 )
 from surfacenetworks_tpu.dist.graph_parallel import (
+    GraphStore,
     make_graph_sharded_apply,
     partition_batch_dirac,
     partition_batch_operator,
@@ -39,6 +40,7 @@ from surfacenetworks_tpu.dist.graph_parallel import (
 )
 
 __all__ = [
+    "GraphStore",
     "batch_sharding",
     "initialize_multihost",
     "make_dp_train_step",

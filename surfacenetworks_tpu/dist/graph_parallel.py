@@ -232,3 +232,87 @@ def place_graph_batch(
     op_d = jax.tree_util.tree_map(lambda a: put_global(a, op_sh), op)
     arrays_d = {k: put_global(v, row_sh) for k, v in arrays.items()}
     return op_d, arrays_d
+
+
+class GraphStore:
+    """Device-resident graph-parallel sample store.
+
+    The round-4 GP trainers re-placed each batch's partitioned operator
+    pytree with ``place_graph_batch``/``put_global`` EVERY step — the
+    largest arrays in the step shipped host->device per batch (round-4
+    verdict, top item).  ``GraphStore`` is the GP analogue of
+    ``data.DeviceDataset``: every sample's row-partitioned operator and
+    padded arrays are stacked into ``[S, ...]`` host trees, placed on the
+    ('data' x 'graph') mesh ONCE — sample axis replicated, vertex rows
+    sharded over ``vertex_axis`` — and a training batch is a ``[B]``-index
+    gather fused INSIDE the jit'd step (:meth:`gather`), so steady-state
+    GP steps ship only the index vector.
+
+    The placed trees must be passed to the step as jit ARGUMENTS (not
+    captured in a closure: closure-captured arrays are baked into the HLO
+    as constants, which both bloats the executable and — through a remote
+    compile service — can exceed request limits).
+
+    Scales the reference hot spot ``dense_correspondence/main.py:193,320``
+    and the normal-prediction loop ``train_4_normal.py:195-218``.
+    """
+
+    def __init__(self, mesh: Mesh, op, arrays: dict, index_of: dict,
+                 vertex_axis: str = "graph"):
+        self.mesh = mesh
+        self.op = op
+        self.arrays = arrays
+        self._index_of = index_of
+        self.vertex_axis = vertex_axis
+
+    @classmethod
+    def build(cls, mesh: Mesh, samples: list, op_stacked, arrays: dict,
+              vertex_axis: str = "graph", budget_bytes: int = 6 << 30):
+        """``op_stacked``: the [S, ...]-stacked partitioned operator of ALL
+        ``samples`` (from ``stack_partitioned`` / ``stack_partitioned_dirac``);
+        ``arrays``: dict of [S, N, ...] host arrays (mask/inputs/targets...).
+        Returns None past ``budget_bytes`` (callers keep the host route)."""
+        from surfacenetworks_tpu.dist.mesh_setup import put_global
+
+        nbytes = sum(
+            getattr(leaf, "nbytes", 0)
+            for leaf in jax.tree_util.tree_leaves((op_stacked, arrays))
+        )
+        if nbytes > budget_bytes:
+            return None
+        sh = NamedSharding(mesh, P(None, vertex_axis))
+        op_d = jax.tree_util.tree_map(lambda a: put_global(np.asarray(a), sh), op_stacked)
+        arrays_d = {k: put_global(np.asarray(v), sh) for k, v in arrays.items()}
+        index_of = {id(s): i for i, s in enumerate(samples)}
+        store = cls(mesh, op_d, arrays_d, index_of, vertex_axis)
+        store._items = samples  # pin: identity keys stay valid while alive
+        return store
+
+    def indices(self, samples: list) -> np.ndarray:
+        return np.asarray([self._index_of[id(s)] for s in samples], np.int32)
+
+    def gather(self, op, arrays, idx, batch_axis: str | None = None):
+        """INSIDE-jit batch assembly: gather ``idx`` sample rows of the
+        placed trees (pass ``self.op`` / ``self.arrays`` through the jit's
+        arguments) and constrain to the step shardings
+        ``make_graph_sharded_apply`` expects."""
+        bsh = NamedSharding(self.mesh, P(batch_axis, self.vertex_axis))
+
+        def g(a):
+            return jax.lax.with_sharding_constraint(a[idx], bsh)
+
+        return (
+            jax.tree_util.tree_map(g, op),
+            {k: g(v) for k, v in arrays.items()},
+        )
+
+    def stats(self) -> str:
+        nbytes = sum(
+            getattr(leaf, "nbytes", 0)
+            for leaf in jax.tree_util.tree_leaves((self.op, self.arrays))
+        )
+        return (
+            f"graph store: {len(self._index_of)} samples, "
+            f"{nbytes / 1e6:.1f} MB resident (rows sharded over "
+            f"'{self.vertex_axis}')"
+        )

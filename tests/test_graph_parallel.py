@@ -308,3 +308,59 @@ def test_mnist_graph_parallel_cli_smoke(tmp_path):
             "--result-dir", str(tmp_path),
         ]
     )
+
+
+def test_normal_gp_device_store_matches_host_path(tmp_path):
+    """The device-resident GraphStore path (round-5: partitioned operators
+    placed once, [B]-index gather inside the jit'd step) trains identically
+    to the per-step put_global host route — same losses, both train and
+    eval."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 4:
+        import pytest as _pytest
+
+        _pytest.skip("needs 4 virtual devices")
+    from surfacenetworks_tpu.cli import train_normal
+
+    common = [
+        "--synthetic", "6", "--num-epoch", "2", "--num-updates", "3",
+        "--layer", "2", "--batch-size", "2", "--graph-parallel", "4",
+        "--seed", "11",
+    ]
+
+    def losses_of(tag, extra):
+        train_normal.main(common + extra + ["--result-dir", str(tmp_path / tag)])
+        txt = open(tmp_path / tag / "log" / "debug.log").read()
+        return [
+            float(line.split("loss ")[1].split(",")[0])
+            for line in txt.splitlines()
+            if ("Train" in line or "Eval" in line) and "loss" in line
+        ]
+
+    store = losses_of("store", [])
+    host = losses_of("host", ["--no-device-store"])
+    assert len(store) == len(host) and len(store) >= 2, (store, host)
+    for a, b in zip(store, host):
+        assert abs(a - b) < 1e-4 * max(abs(a), 1e-6), (store, host)
+
+
+def test_normal_gp_device_store_dirac(tmp_path):
+    """GraphStore with the partitioned Dirac operator (two-sided v/f halos):
+    the stacked [S, ...] quaternion tables place and gather correctly."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 4:
+        import pytest as _pytest
+
+        _pytest.skip("needs 4 virtual devices")
+    from surfacenetworks_tpu.cli import train_normal
+
+    train_normal.main(
+        [
+            "--synthetic", "6", "--model", "dirac", "--num-epoch", "1",
+            "--num-updates", "2", "--layer", "2", "--batch-size", "2",
+            "--graph-parallel", "4", "--debug",
+            "--result-dir", str(tmp_path),
+        ]
+    )
