@@ -424,6 +424,35 @@ def _siamese_wall_steps_per_s(n_samples=6, n_points=7000, layers=15, updates=200
     return best
 
 
+def _gp_vs_dp_wall():
+    """GP-vs-DP trainer wall ratio on a virtual 8-device CPU mesh (see
+    benchmarks/gp_dp_wall.py) — run as a SUBPROCESS because the parent
+    bench owns the real-TPU backend and the comparison needs
+    xla_force_host_platform_device_count before backend init."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks", "gp_dp_wall.py"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, script], env=env, capture_output=True, text=True,
+            timeout=1500, check=True,
+        )
+        return {
+            f"cpu_mesh_{k}": v
+            for k, v in json.loads(out.stdout.strip().splitlines()[-1]).items()
+        }
+    except Exception as e:  # the comparison must never sink the bench
+        return {"cpu_mesh_gp_dp_error": str(e)[:200]}
+
+
 def main():
     import os
 
@@ -729,6 +758,7 @@ def main():
     t_faust16, faust_temp_mb_16 = _siamese_step_time(bf16=True)
     t_fstream, faust_temp_mb_stream = _siamese_step_time(streaming=True)
     faust_wall_sps = _siamese_wall_steps_per_s()
+    gp_dp_stats = _gp_vs_dp_wall()
 
     best_name, best_t = min(
         [
@@ -781,6 +811,7 @@ def main():
                     "train_wall_device_step_ms": round(wall_dev_ms, 3),
                     "train_step_ms_faust": round(t_faust * 1e3, 3),
                     "train_wall_steps_per_s_faust": round(faust_wall_sps, 2),
+                    **gp_dp_stats,
                     "train_step_ms_b4_n1000_l15_bf16": round(t_step16 * 1e3, 3),
                     "train_step_ms_faust_bf16": round(t_faust16 * 1e3, 3),
                     "faust_step_temp_mb": faust_temp_mb,

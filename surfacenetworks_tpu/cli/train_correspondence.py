@@ -399,6 +399,15 @@ def main(argv=None):
         _rep_sh = NamedSharding(gmesh, P())
         place_rows = lambda x: put_global(np.asarray(x), _row_sh)
         place_rep = lambda x: put_global(np.asarray(x), _rep_sh)
+    elif n_gp:
+        # single-process GP: place per-sample arrays row-sharded ONCE so the
+        # cached entries carry their step shardings (no per-step reshard)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        _row_sh = NamedSharding(gmesh, P(None, "graph"))
+        _rep_sh = NamedSharding(gmesh, P())
+        place_rows = lambda x: jax.device_put(jnp.asarray(x), _row_sh)
+        place_rep = lambda x: jax.device_put(jnp.asarray(x), _rep_sh)
     else:
         place_rows = jnp.asarray
         place_rep = jnp.asarray
@@ -424,8 +433,15 @@ def main(argv=None):
     # (computed host-side, chunked) go on device — training cost becomes
     # O(N) in memory, which is what lets 50k-vertex meshes train end-to-end
     # on one chip (the reference caps at 7000)
-    use_fast = not n_gp and jax.process_count() == 1 and (
-        fits_device or args.loss == "dcel"
+    # Graph-parallel joins the fast path for dcel (round-5): the round-4 GP
+    # route re-assembled and re-uploaded the [N, N] aggregated geodesic cost
+    # EVERY step ( ~200 MB at 7k vertices) — with dcel its only use is the
+    # per-pair argmin target, which is constant, computed host-side (the
+    # light-path chunked aggregation) and cached row-replicated on the mesh.
+    # Operators/masks/inputs place row-sharded once like GraphStore does for
+    # train_normal.
+    use_fast = jax.process_count() == 1 and (
+        (not n_gp and fits_device) or args.loss == "dcel"
     )
     light = use_fast and args.loss == "dcel" and (not fits_device or _FORCE_LIGHT)
     if light:
@@ -433,19 +449,29 @@ def main(argv=None):
             f"(est {est_bytes / 1e9:.1f} GB > HBM budget); dcel targets "
             "computed host-side per pair and cached on device")
     smooth_w = float(args.smooth_reg)
-    if smooth_w > 0 and not use_fast:
+    if smooth_w > 0 and (not use_fast or n_gp):
         raise SystemExit("--smooth-reg requires the single-device fast path "
                          "(no --graph-parallel / --multihost)")
     _dev_cache: dict = {}
 
     def dev_sample(sample):
-        """-> (device tree, true vertex count), cached per sample."""
+        """-> (device tree, true vertex count), cached per sample.  Under
+        graph parallelism the operator is the row-partitioned/sharded one
+        and mask/inputs place row-sharded, G/labels replicated — the GP
+        analogue of train_normal's GraphStore (placed once, zero per-step
+        H2D)."""
         key = id(sample)
         hit = _dev_cache.get(key)
         if hit is not None and hit[0] is sample:
             return hit[1], hit[2]
+        gp_op = None
+        if n_gp:
+            gp_op = _op_cache.get(key)
+            if gp_op is None:
+                gp_op = partitioned_op_of(sample)
         pack = correspondence_batch(
             sample, buckets, model=model_key, fmt="bsr" if use_bsr else "ell",
+            operator=gp_op,
             op_dtype=jnp.bfloat16 if (args.bf16 and use_bsr) else None,
         )
         G, lab, li = pack.targets
@@ -472,7 +498,17 @@ def main(argv=None):
             tree["reg_op"] = stack_operators(
                 [_fixed_k_operator(sample["L"], buckets, N_b)]
             )
-        entry = jax.device_put(tree)
+        if n_gp:
+            entry = {
+                k: (
+                    v if k == "op"  # already sharded by partitioned_op_of
+                    else place_rows(v) if k in ("mask", "inputs")
+                    else place_rep(v)
+                )
+                for k, v in tree.items()
+            }
+        else:
+            entry = jax.device_put(tree)
         _dev_cache[key] = (sample, entry, n)
         _op_cache.setdefault(key, entry["op"])  # eval path reuses the device op
         return entry, n
@@ -544,9 +580,7 @@ def main(argv=None):
         t = _target_cache.get(key)
         if t is None:
             if light:
-                t = jax.device_put(
-                    jnp.asarray(_host_pair_target(data[ia], data[ib]))
-                )
+                t = place_rep(jnp.asarray(_host_pair_target(data[ia], data[ib])))
             else:
                 da, na = dev_sample(data[ia])
                 db, nb = dev_sample(data[ib])

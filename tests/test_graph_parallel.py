@@ -364,3 +364,43 @@ def test_normal_gp_device_store_dirac(tmp_path):
             "--result-dir", str(tmp_path),
         ]
     )
+
+
+def test_correspondence_gp_fast_path_matches_single_device(tmp_path):
+    """The GP dcel fast path (round-5: partitioned operators + row-sharded
+    entries cached once, per-pair host-aggregated targets — no per-step
+    [N, N] GAB upload) trains to the same losses as the single-device fast
+    path: the sharded trunk is exact (psum'd BN/avg), the target math
+    identical, the rng draw order shared."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 4:
+        import pytest as _pytest
+
+        _pytest.skip("needs 4 virtual devices")
+    from surfacenetworks_tpu.cli import train_correspondence
+
+    common = [
+        "--synthetic", "2", "--synthetic-points", "320", "--layer", "2",
+        "--num-epoch", "2", "--num-updates", "4", "--deser-option", "no",
+        "--full-train", "--seed", "37",
+    ]
+
+    def losses_of(tag, extra):
+        train_correspondence.main(
+            common + extra + [
+                "--result-dir", str(tmp_path / tag), "--result-prefix", tag,
+            ]
+        )
+        txt = open(tmp_path / tag / "log" / f"{tag}.log").read()
+        return [
+            float(line.split("loss ")[1].split(",")[0])
+            for line in txt.splitlines()
+            if "Train epoch" in line
+        ]
+
+    gp = losses_of("gp", ["--graph-parallel", "4"])
+    single = losses_of("single", [])
+    assert len(gp) == len(single) == 2, (gp, single)
+    for a, b in zip(gp, single):
+        assert abs(a - b) < 5e-3 * max(abs(a), 1e-6), (gp, single)
