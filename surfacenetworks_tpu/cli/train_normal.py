@@ -92,6 +92,21 @@ parser.add_argument("--debug", action="store_true")
 parser.add_argument("--no-device-store", action="store_true",
                     help="disable the device-resident dataset fast path "
                          "(host batch assembly every step; for A/B checks)")
+parser.add_argument("--rotate-augment", action="store_true",
+                    help="random 3D rotation per mesh per TRAIN step, applied "
+                         "to inputs AND normal targets INSIDE the jit'd step "
+                         "(keyed off the optimizer step — zero per-step H2D); "
+                         "the normals task is rotation-covariant, so this is "
+                         "the natural analogue of the reference's FAUST "
+                         "xz/xy-rotation augmentation")
+parser.add_argument("--flip-variants", type=int, default=0, metavar="K",
+                    help="append K constrained-edge-flip variants of every "
+                         "train mesh at startup (geometry.repair."
+                         "constrained_edge_flip — the reference's "
+                         "geom_utils:39-108 augmentation), with recomputed "
+                         "operators and normal targets; variants live in the "
+                         "device store like any sample, so augmentation costs "
+                         "nothing per step")
 parser.add_argument("--seed", type=int, default=17)
 parser.add_argument("--jax-profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the first training epoch")
@@ -168,6 +183,35 @@ def main(argv=None):
         )
 
     train_samples, test_samples = load_samples(args, log)
+    if args.flip_variants > 0:
+        from surfacenetworks_tpu import geometry as geo
+        from surfacenetworks_tpu.geometry import repair
+
+        hack = 0.0 if "hack0" in args.additional_opt else 1.0
+        rng_f = np.random.default_rng(args.seed + 101)
+        extra = []
+        for s in train_samples:
+            for k in range(args.flip_variants):
+                _, F2 = repair.constrained_edge_flip(
+                    s["V"], s["F"], num_flipped_edges=max(s["F"].shape[0] // 10, 4),
+                    rng=rng_f,
+                )
+                v = {
+                    "V": s["V"], "F": np.asarray(F2, dtype=np.asarray(s["F"]).dtype),
+                    "input": s["input"],
+                    "target": geo.vertex_normals(s["V"], F2).astype(np.float32),
+                    "name": f"{s.get('name', 'mesh')}_flip{k}",
+                }
+                if args.model.startswith("dirac"):
+                    from surfacenetworks_tpu import native
+
+                    v["dirac"] = native.dirac_coeffs(v["V"], v["F"])
+                else:
+                    v["L"] = geo.igl_style_laplacian(v["V"], v["F"], hack=hack)
+                extra.append(v)
+        train_samples = train_samples + extra
+        log(f"flip augmentation: +{len(extra)} variants "
+            f"({args.flip_variants} per train mesh)")
     log(f"Train size: {len(train_samples)} Test size: {len(test_samples)}")
 
     is_dirac = args.model.startswith("dirac")
@@ -355,8 +399,39 @@ def main(argv=None):
         def apply_fn(p, op, mk, x):
             return model.apply({"params": p}, op, mk, x)
 
+    def _rand_rotations(key, B):
+        """[B, 3, 3] random rotations (XYZ Euler composition) — in-jit
+        train-time augmentation; normals are rotation-covariant so targets
+        rotate with the mesh."""
+        ang = jax.random.uniform(key, (B, 3), maxval=2 * np.pi)
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        z = jnp.zeros_like(c[:, 0])
+        one = jnp.ones_like(z)
+
+        def rows(r0, r1, r2):
+            return jnp.stack(
+                [jnp.stack(r0, -1), jnp.stack(r1, -1), jnp.stack(r2, -1)], -2
+            )
+
+        Rx = rows([one, z, z], [z, c[:, 0], -s[:, 0]], [z, s[:, 0], c[:, 0]])
+        Ry = rows([c[:, 1], z, s[:, 1]], [z, one, z], [-s[:, 1], z, c[:, 1]])
+        Rz = rows([c[:, 2], -s[:, 2], z], [s[:, 2], c[:, 2], z], [z, z, one])
+        return Rz @ Ry @ Rx
+
+    def _maybe_rotate(step, inputs, targets):
+        if not args.rotate_augment:
+            return inputs, targets
+        key = jax.random.fold_in(jax.random.key(args.seed), step)
+        R = _rand_rotations(key, inputs.shape[0])
+        return (
+            jnp.einsum("bnc,bcd->bnd", inputs, R),
+            jnp.einsum("bnc,bcd->bnd", targets, R),
+        )
+
     @jax.jit
     def train_step(state, operator, mask, inputs, targets):
+        inputs, targets = _maybe_rotate(state.step, inputs, targets)
+
         def objective(params):
             out = apply_fn(params, operator, mask, inputs)
             loss = losses.normal_cosine_loss(out, mask, targets)
@@ -512,6 +587,12 @@ def main(argv=None):
                 break
             gp_stores[ti] = st
 
+    if args.rotate_augment and n_dp and store_tiers is None:
+        raise SystemExit("--rotate-augment under --data-parallel needs the "
+                         "device-store fast path (dataset exceeded the HBM "
+                         "budget); the host DP route has no step counter to "
+                         "key the in-jit rotation off")
+
     def batch_fn(samples):
         if store_tiers is None:
             return make_batch(samples)
@@ -535,6 +616,9 @@ def main(argv=None):
             b = IndexedBatch.gather(tree, idx)
             b = jax.tree_util.tree_map(
                 lambda a: jax.lax.with_sharding_constraint(a, _batch_sh), b
+            )
+            b["inputs"], b["targets"] = _maybe_rotate(
+                state.step, b["inputs"], b["targets"]
             )
 
             def objective(params):

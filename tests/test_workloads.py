@@ -507,3 +507,23 @@ def test_vae_cli_graph_parallel_smoke(tmp_path):
             "--result-dir", str(tmp_path),
         ]
     )
+
+
+def test_normal_cli_augmentation_smoke(tmp_path):
+    """--rotate-augment (in-jit random rotations keyed off the optimizer
+    step, covariant targets) + --flip-variants (constrained-edge-flip
+    dataset expansion, geom_utils:39-108 analogue) train end-to-end; the
+    flip variants materialize as extra device-store samples."""
+    from surfacenetworks_tpu.cli import train_normal
+
+    train_normal.main(
+        [
+            "--synthetic", "5", "--synthetic-points", "200", "--layer", "2",
+            "--num-epoch", "1", "--num-updates", "2", "--batch-size", "2",
+            "--rotate-augment", "--flip-variants", "1",
+            "--result-dir", str(tmp_path),
+        ]
+    )
+    txt = open(tmp_path / "log" / "debug.log").read()
+    assert "flip augmentation: +4 variants" in txt, txt
+    assert "Train 0" in txt and "Eval 0" in txt
