@@ -242,7 +242,10 @@ def main(argv=None):
         elif args.operator_format not in ("auto", "ell"):
             raise SystemExit("--graph-parallel supports ell or bsr operator formats")
         args.operator_format = "ell"
-    if (args.operator_format == "bsr" and not is_dirac) or n_gp:
+    if (args.operator_format == "bsr" and not is_dirac) or n_gp or args.model == "gat":
+        # gat: RCM gives the ELL pattern a tight banded window, which routes
+        # attention through the banded-window formulation (nn.blocks
+        # _gat_attend_banded — no HBM gathers) instead of per-slot gathers
         train_samples = [rcm_reorder_sample(s) for s in train_samples]
         test_samples = [rcm_reorder_sample(s) for s in test_samples]
     if n_gp and is_dirac:

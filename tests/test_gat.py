@@ -95,3 +95,42 @@ def test_gat_padded_rows_stay_zero():
     out = np.asarray(gat_attend(opp, jnp.asarray(xh), jnp.asarray(s), jnp.asarray(s)))
     assert np.abs(out[n:]).max() == 0.0
     assert np.abs(out[:n]).max() > 0.0
+
+
+def test_gat_banded_matches_gather():
+    """The banded-window attention (round-5: band-resident scores, window
+    softmax, MXU aggregation — no HBM gathers) equals the per-slot gather
+    formulation on an RCM-ordered pattern, including non-128-multiple row
+    counts (internal padding) and bucket-padded rows."""
+    rng = np.random.default_rng(3)
+    V, F = datasets.random_blob_mesh(rng, 300)
+    L = geo.igl_style_laplacian(V, F, hack=1.0).tocsr()
+    perm = sps.rcm_permutation(L)
+    L = L[perm][:, perm].tocsr()
+    n_pad = 328  # 8-multiple bucket, NOT a 128 multiple
+    op = sps.stack_operators([sps.EllOperator(
+        fwd=sps.ell_from_scipy(L, n_rows=n_pad, n_cols=n_pad),
+        bwd=sps.ell_from_scipy(L.T.tocsr(), n_rows=n_pad, n_cols=n_pad),
+    )])
+    assert op.fwd.window > 0
+    H, ch = 4, 8
+    xh = jnp.asarray(rng.normal(size=(1, n_pad, H, ch)).astype(np.float32))
+    s_src = jnp.asarray(rng.normal(size=(1, n_pad, H)).astype(np.float32))
+    s_dst = jnp.asarray(rng.normal(size=(1, n_pad, H)).astype(np.float32))
+
+    banded = gat_attend(op, xh, s_src, s_dst,
+                        precision=jax.lax.Precision.HIGHEST)
+    gathered = gat_attend(op, xh, s_src, s_dst, force_gather=True)
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(gathered),
+                               rtol=2e-4, atol=2e-5)
+
+    # grads agree too (the banded backward is plain autodiff over the band)
+    def loss(fn_kwargs):
+        def f(x):
+            return jnp.sum(gat_attend(op, x, s_src, s_dst, **fn_kwargs) ** 2)
+        return jax.grad(f)(xh)
+
+    g_b = loss({"precision": jax.lax.Precision.HIGHEST})
+    g_g = loss({"force_gather": True})
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_g),
+                               rtol=2e-3, atol=2e-4)
