@@ -231,8 +231,8 @@ def main(argv=None):
     gp_interior = "ell"
     gp_dp = args.data_parallel if (n_gp and args.data_parallel > 1) else 0
     if n_gp:
-        if args.model not in ("lap", "dirac"):
-            raise SystemExit("--graph-parallel supports the lap and dirac models")
+        if args.model not in ("lap", "dirac", "gat"):
+            raise SystemExit("--graph-parallel supports the lap, dirac and gat models")
         if gp_dp and args.batch_size % gp_dp:
             raise SystemExit(
                 f"batch size {args.batch_size} not divisible by --data-parallel {gp_dp}"

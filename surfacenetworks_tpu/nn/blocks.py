@@ -254,6 +254,79 @@ def _gat_attend_banded(cols, vals, xh, s_src, s_dst, window: int,
 _GAT_BANDED_MAX_WINDOW = 2048
 
 
+def _gat_slots_attend(cols, vals, payload, s_src, H, ch, negative_slope):
+    """Gather-formulation attention core over an explicit payload frame.
+
+    ``cols [R, K]`` indexes ``payload [Nf, H*ch + H]`` (features + dst
+    scores); ``s_src [R, H]`` is row-aligned.  One gather per slot (scores
+    ride with the features — halves the gather-issue count); masked softmax
+    over the K slots; rows with no valid slot return zero.
+    """
+    import jax
+
+    R, K = cols.shape
+    gathered = []
+    scores = []
+    for k in range(K):
+        g = jnp.take(payload, cols[:, k], axis=0)
+        gathered.append(g[:, : H * ch])
+        e_k = jax.nn.leaky_relu(s_src + g[:, H * ch:], negative_slope)
+        scores.append(jnp.where(vals[:, k: k + 1] != 0, e_k, -1e9))
+    E = jnp.stack(scores, axis=1)  # [R, K, H]
+    A = jax.nn.softmax(E, axis=1)
+    out = jnp.zeros((R, H, ch), payload.dtype)
+    for k in range(K):
+        out = out + A[:, k, :, None] * gathered[k].reshape(R, H, ch)
+    row_valid = (vals != 0).any(axis=1)
+    return out * row_valid[:, None, None]
+
+
+def _gat_attend_partitioned(pop, xh, s_src, s_dst, negative_slope):
+    """Row-partitioned attention inside a graph-sharded shard_map body
+    (closes the round-4 'GAT cannot run edge-partitioned' gap).
+
+    The PartitionedEll split is softmax-exact for attention: every row's
+    COMPLETE slot list lives in exactly one table — interior rows in the
+    local-frame table (boundary rows zeroed there), boundary rows in the
+    extended-frame side table — so a per-table masked softmax IS the row's
+    neighbor softmax.  The payload (features + dst scores) halo-exchanges
+    once per attend (ring ppermute, the same wire pattern as the SpMM);
+    boundary outputs scatter into the zeroed interior slots.  Gradients are
+    plain autodiff through the gathers and the ppermute.  Uses the gather
+    formulation (partition-local column frames carry no banded-window
+    bound).
+    """
+    import jax
+
+    from surfacenetworks_tpu.dist import edge_partition as ep
+
+    m = pop.fwd
+    H, ch = xh.shape[-2], xh.shape[-1]
+    N = xh.shape[-3]
+    payload = jnp.concatenate(
+        [xh.reshape(xh.shape[:-3] + (N, H * ch)), s_dst], axis=-1
+    )
+    has_bnd = bool(m.halo) and m.bnd_rows.shape[-1] > 0
+    pext = ep._halo_exchange(payload, m.halo, m.axis) if has_bnd else payload
+
+    def one(cols, vals, payload, pext, s_src, bnd_rows, bnd_cols, bnd_vals):
+        out = _gat_slots_attend(cols, vals, payload, s_src, H, ch, negative_slope)
+        if has_bnd:
+            out_b = _gat_slots_attend(
+                bnd_cols, bnd_vals, pext, s_src[bnd_rows], H, ch, negative_slope
+            )
+            out = out.at[bnd_rows].add(out_b)
+        return out
+
+    if m.cols.ndim == 2:
+        return one(
+            m.cols, m.vals, payload, pext, s_src, m.bnd_rows, m.bnd_cols, m.bnd_vals
+        )
+    return jax.vmap(one)(
+        m.cols, m.vals, payload, pext, s_src, m.bnd_rows, m.bnd_cols, m.bnd_vals
+    )
+
+
 def gat_attend(op, xh, s_src, s_dst, negative_slope: float = 0.2,
                force_gather: bool = False, precision=None):
     """Masked multi-head graph attention over the operator's ELL pattern.
@@ -278,6 +351,9 @@ def gat_attend(op, xh, s_src, s_dst, negative_slope: float = 0.2,
     """
     import jax
 
+    ep = _edge_partition_module()
+    if ep is not None and isinstance(op, ep.PartitionedOperator):
+        return _gat_attend_partitioned(op, xh, s_src, s_dst, negative_slope)
     m = op.fwd if isinstance(op, EllOperator) else None
     if m is None:
         raise TypeError("gat_attend needs an EllOperator (pattern source)")
@@ -294,30 +370,14 @@ def gat_attend(op, xh, s_src, s_dst, negative_slope: float = 0.2,
 
     def single(cols, vals, xh, s_src, s_dst):
         N, H, ch = xh.shape
-        K = cols.shape[1]
         # ONE gather per slot: the destination scores ride along with the
         # features ([N, H*ch + H] rows, full-lane width) instead of a second
         # narrow [N, H] gather — halves the gather-issue count, which is
-        # what bounds this formulation (same model as the Dirac applies)
+        # what bounds this formulation (same model as the Dirac applies).
+        # Rows with NO valid slot (bucket padding) return zero so padded
+        # rows stay inert like the Lap/Avg operator rows.
         payload = jnp.concatenate([xh.reshape(N, H * ch), s_dst], axis=-1)
-        gathered = []
-        scores = []
-        for k in range(K):
-            g = jnp.take(payload, cols[:, k], axis=0)  # [N, H*ch + H]
-            gathered.append(g[:, : H * ch])
-            e_k = jax.nn.leaky_relu(s_src + g[:, H * ch :], negative_slope)
-            scores.append(jnp.where(vals[:, k : k + 1] != 0, e_k, -1e9))
-        E = jnp.stack(scores, axis=1)  # [N, K, H]
-        A = jax.nn.softmax(E, axis=1)
-        out = jnp.zeros((N, H, ch), xh.dtype)
-        for k in range(K):
-            out = out + A[:, k, :, None] * gathered[k].reshape(N, H, ch)
-        # rows with NO valid slot (bucket padding) get a uniform softmax over
-        # the -1e9 fill and would gather vertex 0's features — zero them so
-        # padded rows stay inert like the Lap/Avg operator rows (their
-        # garbage would otherwise leak into the unmasked BatchNorm stats)
-        row_valid = (vals != 0).any(axis=1)
-        return out * row_valid[:, None, None]
+        return _gat_slots_attend(cols, vals, payload, s_src, H, ch, negative_slope)
 
     if m.cols.ndim == 2:
         return single(m.cols, m.vals, xh, s_src, s_dst)

@@ -134,3 +134,92 @@ def test_gat_banded_matches_gather():
     g_g = loss({"force_gather": True})
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_g),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_gat_graph_parallel_matches_single_device(tmp_path, monkeypatch):
+    """GAT under --graph-parallel (round-5: partitioned attention — the
+    PartitionedEll split is softmax-exact because every row's complete slot
+    list lives in exactly one table; payload halo-exchanged per attend).
+
+    The partitioned attend is exact vs the gather formulation (fwd 1e-7,
+    grads 1e-6 — see also the shard_map micro-parity below), but a few
+    Adam steps amplify ~1e-6 reduction-order noise chaotically on tiny
+    tasks, so the trainer check pins: identical FIRST loss (forward/batch/
+    init exact), one-update loss within 1e-4, and finite decreasing
+    training after that.  Both runs force the gather formulation."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    import surfacenetworks_tpu.nn.blocks as blocks
+    from surfacenetworks_tpu.cli import train_normal
+
+    monkeypatch.setattr(blocks, "_GAT_BANDED_MAX_WINDOW", 0)
+
+    common = [
+        "--synthetic", "6", "--synthetic-points", "320", "--model", "gat",
+        "--num-epoch", "3", "--num-updates", "1", "--layer", "2",
+        "--batch-size", "2", "--seed", "11", "--no-test",
+    ]
+
+    def losses_of(tag, extra):
+        train_normal.main(common + extra + ["--result-dir", str(tmp_path / tag)])
+        txt = open(tmp_path / tag / "log" / "debug.log").read()
+        return [
+            float(line.split("loss ")[1].split(",")[0])
+            for line in txt.splitlines()
+            if "Train" in line and "loss" in line
+        ]
+
+    gp = losses_of("gp", ["--graph-parallel", "4"])
+    single = losses_of("single", [])
+    assert len(gp) == len(single) == 3, (gp, single)
+    assert gp[0] == single[0], (gp, single)  # forward/batch/init exact
+    assert abs(gp[1] - single[1]) < 1e-4 * abs(single[1]), (gp, single)
+    assert np.isfinite(gp).all() and gp[2] < gp[0], gp
+
+
+def test_gat_partitioned_attend_matches_gather_shardmap():
+    """The partitioned attend inside a shard_map equals the single-device
+    gather formulation bit-tightly — values AND input gradients (the
+    trainer-level chaos above is formulation-independent fp noise)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from surfacenetworks_tpu import parallel_context
+    from surfacenetworks_tpu import sparse as sps
+    from surfacenetworks_tpu.data import round_up
+    from surfacenetworks_tpu.dist import edge_partition, graph_parallel, make_mesh
+    from jax.sharding import PartitionSpec as P
+
+    n_parts = 4
+    rng = np.random.default_rng(0)
+    V, F = datasets.random_blob_mesh(rng, 300)
+    L = geo.igl_style_laplacian(V, F, hack=1.0).tocsr()
+    perm = sps.rcm_permutation(L)
+    L = L[perm][:, perm].tocsr()
+    N = round_up(L.shape[0], 8 * n_parts)
+    halo = min(edge_partition.suggest_halo(L), N // n_parts)
+    pop = graph_parallel.partition_batch_operator([L], n_parts, n_rows=N, halo=halo, k=16)
+    ell = sps.operator_from_scipy(L, n_rows=N, n_cols=N, k_multiple=8)
+    ell = jax.tree_util.tree_map(lambda a: a[None], ell)
+
+    H, ch = 2, 8
+    xh = jnp.asarray(rng.normal(size=(1, N, H, ch)).astype(np.float32))
+    ss = jnp.asarray(rng.normal(size=(1, N, H)).astype(np.float32))
+    sd = jnp.asarray(rng.normal(size=(1, N, H)).astype(np.float32))
+    ref = gat_attend(ell, xh, ss, sd, force_gather=True)
+
+    mesh = make_mesh(n_data=1, n_graph=n_parts)
+
+    def local_fn(op, xh, ss, sd):
+        with parallel_context.sharded_axes(vertex_axis="graph", batch_axis=None):
+            return gat_attend(op, xh, ss, sd)
+
+    row = P(None, "graph")
+    fn = jax.jit(jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(row, row, row, row), out_specs=row,
+    ))
+    got = fn(pop, xh, ss, sd)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    g_ref = jax.grad(lambda x: jnp.sum(gat_attend(ell, x, ss, sd, force_gather=True) ** 2))(xh)
+    g_gp = jax.grad(lambda x: jnp.sum(fn(pop, x, ss, sd) ** 2))(xh)
+    np.testing.assert_allclose(np.asarray(g_gp), np.asarray(g_ref), rtol=2e-4, atol=2e-4)
