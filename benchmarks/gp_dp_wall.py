@@ -46,14 +46,43 @@ def rate_of(extra):
     return rates[-1]  # post-compile epoch
 
 
+CORR_COMMON = [
+    "--synthetic", "2", "--synthetic-points", "4096", "--layer", "3",
+    "--num-epoch", "2", "--num-updates", "6", "--deser-option", "no",
+    "--full-train", "--seed", "5",
+]
+
+
+def corr_rate_of(extra):
+    """Wall steps/s of the FAUST siamese trainer (post-compile epoch) —
+    GP (partitioned trunks + cached targets, round-5) vs single-device at
+    equal shapes."""
+    from surfacenetworks_tpu.cli import train_correspondence
+
+    d = tempfile.mkdtemp()
+    train_correspondence.main(
+        CORR_COMMON + extra + ["--result-dir", d, "--result-prefix", "w"]
+    )
+    rates = []
+    for line in open(os.path.join(d, "log", "w.log")):
+        if "Train epoch" in line and "steps/s" in line:
+            rates.append(float(line.split(",")[-2].split("steps/s")[0]))
+    return rates[-1]
+
+
 def main():
     assert len(jax.devices()) >= 8, "needs 8 virtual devices (set XLA_FLAGS)"
     dp = rate_of(["--data-parallel", "2"])
     gp = rate_of(["--graph-parallel", "4", "--data-parallel", "2"])
+    corr_single = corr_rate_of([])
+    corr_gp = corr_rate_of(["--graph-parallel", "4"])
     print(json.dumps({
         "dp_steps_per_s": round(dp, 2),
         "gp_steps_per_s": round(gp, 2),
         "gp_over_dp": round(gp / dp, 3),
+        "corr_single_steps_per_s": round(corr_single, 2),
+        "corr_gp_steps_per_s": round(corr_gp, 2),
+        "corr_gp_over_single": round(corr_gp / corr_single, 3),
     }))
 
 
