@@ -452,6 +452,58 @@ def main(argv=None):
     if smooth_w > 0 and (not use_fast or n_gp):
         raise SystemExit("--smooth-reg requires the single-device fast path "
                          "(no --graph-parallel / --multihost)")
+
+    # ------------------------------------------------------------------
+    # Flat train state (round-5): the tunnel's dispatch cost is ~13 us per
+    # ARGUMENT LEAF (measured: 64 single-pair chunk dispatches with the
+    # ~470-leaf arg tree cost ~5.7 ms each; 4-pair super-chunks with ~4x
+    # the leaves cost ~27 ms each — leaf-proportional, not call-count-
+    # proportional).  The 15-layer TrainState is ~450 of those leaves, so
+    # the fast path trains on ravel_pytree'd FLAT params — the optimizer
+    # state becomes three [P] vectors, the step unravels inside the jit
+    # (free: XLA slices), and a chunk dispatch carries ~30 leaves.
+    # Checkpoints stay in TREE form (save/restore convert), so artifacts
+    # interoperate with --eval-only, serving export and older rounds.
+    # ------------------------------------------------------------------
+    _flat_mode = use_fast
+    if _flat_mode:
+        import optax
+        from jax.flatten_util import ravel_pytree
+
+        flat0, _unravel = ravel_pytree(state.params)
+
+        def _map_moments(o, f):
+            if isinstance(o, optax.ScaleByAdamState):
+                return o._replace(mu=f(o.mu), nu=f(o.nu))
+            if isinstance(o, tuple):
+                items = [_map_moments(x, f) for x in o]
+                return type(o)(*items) if hasattr(o, "_fields") else tuple(items)
+            return o
+
+        def _moments_flat(o):
+            return _map_moments(o, lambda t: ravel_pytree(t)[0])
+
+        def _moments_tree(o):
+            return _map_moments(o, _unravel)
+
+        state = TrainState.create(
+            flat0, optim.adam(float(args.lr), weight_decay=1e-5)
+        ).replace(opt_state=_moments_flat(state.opt_state), step=state.step)
+        params_of = _unravel
+    else:
+        params_of = lambda p: p
+
+    def save_ckpt(epoch_):
+        if _flat_mode:
+            checkpoint.save_checkpoint(
+                ckpt_path, params_of(state.params), _moments_tree(state.opt_state),
+                epoch_, int(state.step),
+            )
+        else:
+            checkpoint.save_checkpoint(
+                ckpt_path, state.params, state.opt_state, epoch_, int(state.step)
+            )
+
     _dev_cache: dict = {}
 
     def dev_sample(sample):
@@ -616,47 +668,68 @@ def main(argv=None):
     # Reference hot loop this collapses: dense_correspondence/main.py:312-326.
     # ------------------------------------------------------------------
     use_chunks = use_fast and args.loss == "dcel" and not args.no_epoch_scan
+    # pair-groups per executable.  Measured at the 7k flagship (200
+    # updates over ~64 distinct pairs, exact-fit BSR k): P=1 206 steps/s,
+    # P=4 197 steps/s — batching groups into one executable does NOT help
+    # (the residual wall gap tracks device work, not dispatch count), so
+    # P stays 1; the machinery generalizes if a future rig shows
+    # dispatch-count-bound behavior.  Likewise the flat train state below
+    # measured neutral THROUGH THE TUNNEL (185 vs 187) but is kept: it
+    # collapses the per-dispatch arg tree ~450 -> ~30 leaves, which is the
+    # dominant per-step host cost on a local-host TPU VM.
+    P_CHUNK = 1
 
-    @functools.partial(jax.jit, donate_argnums=(0, 6))
-    def train_chunk(state, da, db, rots_v, k, target, sums):
-        def body(i, carry):
-            state, sums = carry
-            rots = rots_v[i]
-            Ra = _rot_matrix(rots[0], rots[1])
-            Rb = _rot_matrix(rots[2], rots[3])
-            inx = da["inputs"] @ Ra
-            iny = db["inputs"] @ Rb
+    def _chunk_update(state, sums, da, db, rots, target):
+        """One training update against fixed pair entries — the body shared
+        by every group of the super-chunk executable."""
+        Ra = _rot_matrix(rots[0], rots[1])
+        Rb = _rot_matrix(rots[2], rots[3])
+        inx = da["inputs"] @ Ra
+        iny = db["inputs"] @ Rb
 
-            def objective(params):
-                if use_stream or smooth_w > 0:
-                    fa, fb = features(
-                        params, da["op"], da["mask"], inx, db["op"], db["mask"], iny
-                    )
-                if use_stream:
-                    loss = losses.corr_dcel_streaming(
-                        fa[0].astype(jnp.float32), fb[0].astype(jnp.float32), target
+        def objective(flat_or_tree):
+            params = params_of(flat_or_tree)
+            if use_stream or smooth_w > 0:
+                fa, fb = features(
+                    params, da["op"], da["mask"], inx, db["op"], db["mask"], iny
+                )
+            if use_stream:
+                loss = losses.corr_dcel_streaming(
+                    fa[0].astype(jnp.float32), fb[0].astype(jnp.float32), target
+                )
+            else:
+                if smooth_w > 0:
+                    out = jnp.einsum(
+                        "bnc,bmc->bnm", fa, fb, preferred_element_type=jnp.float32
                     )
                 else:
-                    if smooth_w > 0:
-                        out = jnp.einsum(
-                            "bnc,bmc->bnm", fa, fb, preferred_element_type=jnp.float32
-                        )
-                    else:
-                        out = forward(
-                            params, da["op"], da["mask"], inx, db["op"], db["mask"], iny
-                        )
-                    loss = losses.corr_delta_cross_entropy_from_target(out[0], target)
-                if smooth_w > 0:
-                    loss = loss + smooth_w * (
-                        losses.corr_feature_smoothness(da["reg_op"], fa)
-                        + losses.corr_feature_smoothness(db["reg_op"], fb)
+                    out = forward(
+                        params, da["op"], da["mask"], inx, db["op"], db["mask"], iny
                     )
-                return loss, ()
+                loss = losses.corr_delta_cross_entropy_from_target(out[0], target)
+            if smooth_w > 0:
+                loss = loss + smooth_w * (
+                    losses.corr_feature_smoothness(da["reg_op"], fa)
+                    + losses.corr_feature_smoothness(db["reg_op"], fb)
+                )
+            return loss, ()
 
-            (loss, _), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
-            return (state.apply_gradients(grads), sums + loss)
+        (loss, _), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
+        return state.apply_gradients(grads), sums + loss
 
-        return jax.lax.fori_loop(0, k, body, (state, sums))
+    @functools.partial(jax.jit, donate_argnums=(0, 6))
+    def train_superchunk(state, das, dbs, rots_v, ks, targets, sums):
+        """P_CHUNK pair-groups, each a fori_loop with a RUNTIME trip count
+        (zero-length pad groups cost nothing at run time), one dispatch."""
+        for g in range(P_CHUNK):
+            da, db, target = das[g], dbs[g], targets[g]
+
+            def body(i, carry, da=da, db=db, target=target, g=g):
+                state, sums = carry
+                return _chunk_update(state, sums, da, db, rots_v[g, i], target)
+
+            state, sums = jax.lax.fori_loop(0, ks[g], body, (state, sums))
+        return state, sums
 
     def _epoch_plan():
         """The epoch's (pair indices, rotation angles), drawn with the SAME
@@ -682,7 +755,8 @@ def main(argv=None):
                 da["G"], da["l"], da["li"], db["G"], db["l"], db["li"], na, nb
             )
 
-        def objective(params):
+        def objective(flat_or_tree):
+            params = params_of(flat_or_tree)
             if use_stream or smooth_w > 0:
                 fa, fb = features(
                     params, da["op"], da["mask"], inx, db["op"], db["mask"], iny
@@ -718,6 +792,7 @@ def main(argv=None):
     def eval_step_fast(params, da, db, rots, na, nb):
         """Eval against the device-cached sample entries: no per-pair host
         transfer of the [N, N] geodesic matrices (the round-4 eval wall)."""
+        params = params_of(params)
         Ra = _rot_matrix(rots[0], rots[1])
         Rb = _rot_matrix(rots[2], rots[3])
         inx = da["inputs"] @ Ra
@@ -806,6 +881,7 @@ def main(argv=None):
 
         @jax.jit
         def _predict(params, da, db):
+            params = params_of(params)
             fa, fb = features(
                 params, da["op"], da["mask"], da["inputs"],
                 db["op"], db["mask"], db["inputs"],
@@ -868,18 +944,29 @@ def main(argv=None):
             groups: dict = {}
             for u, (ia, ib) in enumerate(pair_idx):
                 groups.setdefault((int(ia), int(ib)), []).append(u)
+            items = list(groups.items())
             sums = jnp.float32(0)
-            for (ia, ib), rows in groups.items():
-                da, _na = dev_sample(data[ia])
-                db, _nb = dev_sample(data[ib])
-                target = pair_target(ia, ib)
-                # fixed [num_updates, 4] aval so every chunk length shares
-                # one executable (the fori_loop trip count is runtime data)
-                rv = np.zeros((args.num_updates, 4), np.float32)
-                rv[: len(rows)] = rots_v[rows]
-                state, sums = train_chunk(
-                    state, da, db, jnp.asarray(rv),
-                    jnp.asarray(len(rows), jnp.int32), target, sums,
+            for c0 in range(0, len(items), P_CHUNK):
+                blk = items[c0: c0 + P_CHUNK]
+                while len(blk) < P_CHUNK:  # zero-length pad groups
+                    blk.append((blk[0][0], []))
+                das, dbs, rvs, ks, tgts = [], [], [], [], []
+                for (ia, ib), rows in blk:
+                    da, _na = dev_sample(data[ia])
+                    db, _nb = dev_sample(data[ib])
+                    das.append(da)
+                    dbs.append(db)
+                    # fixed [num_updates, 4] aval so every chunk length
+                    # shares one executable (trip counts are runtime data)
+                    rv = np.zeros((args.num_updates, 4), np.float32)
+                    rv[: len(rows)] = rots_v[rows]
+                    rvs.append(rv)
+                    ks.append(len(rows))
+                    tgts.append(pair_target(ia, ib) if rows else tgts[0])
+                state, sums = train_superchunk(
+                    state, tuple(das), tuple(dbs),
+                    jnp.asarray(np.stack(rvs)), jnp.asarray(ks, jnp.int32),
+                    tuple(tgts), sums,
                 )
                 _throttle(sums)
             loss_sum = float(sums)
@@ -963,13 +1050,11 @@ def main(argv=None):
         metrics_log.plot()
 
         if epoch % 10 == 9:
-            checkpoint.save_checkpoint(ckpt_path, state.params, state.opt_state, epoch, int(state.step))
+            save_ckpt(epoch)
 
     # final save regardless of epoch count (short runs and --eval-only
     # round-trips need it; matches train_normal's end-of-run checkpoint)
-    checkpoint.save_checkpoint(
-        ckpt_path, state.params, state.opt_state, args.num_epoch - 1, int(state.step)
-    )
+    save_ckpt(args.num_epoch - 1)
 
 
 if __name__ == "__main__":
