@@ -53,6 +53,10 @@ parser.add_argument("--graph-parallel", type=int, default=0,
                          "many devices on the 'graph' mesh axis (lap and dir models; "
                          "ring halo exchange per apply, overlapped with interior compute)")
 parser.add_argument("--seed", type=int, default=17)
+parser.add_argument("--no-device-store", action="store_true",
+                    help="disable the device-resident pick store (single-device "
+                         "AND graph-parallel fast paths); keep the host "
+                         "assemble-and-upload route, mainly for A/B timing")
 parser.add_argument("--dump-rollout", default=None, metavar="DIR",
                     help="after training, render a predicted 2->40-frame rollout of a "
                          "test sequence as a GIF (viz.animate_sequence) + .npy dump "
@@ -169,19 +173,26 @@ def main(argv=None):
             fmt="dense" if args.dense else "ell", operator=op, cache=op_cache,
         )
 
-    def sample_train():
+    def _valid_offsets(seq):
+        # operators exist only on the first 10 frames (reference pipeline)
+        mo = min(len(seq) - INPUT_FRAMES - OUTPUT_FRAMES, 10 - INPUT_FRAMES)
+        return range(max(mo, 1))
+
+    def sample_train_picks():
         picks = []
         for _ in range(args.batch_size):
             ind = int(rng_np.integers(0, n_train))
             max_off = len(sequences[ind]) - INPUT_FRAMES - OUTPUT_FRAMES
-            # operators exist only on the first 10 frames (reference pipeline)
             max_off = min(max_off, 10 - INPUT_FRAMES)
             picks.append((ind, int(rng_np.integers(0, max(max_off, 1)))))
-        return _batch_of(picks)
+        return picks
+
+    def sample_train():
+        return _batch_of(sample_train_picks())
 
     test_counter = [0]
 
-    def sample_test():
+    def sample_test_picks():
         picks = []
         for _ in range(args.batch_size):
             ind = n_train + (test_counter[0] % max(len(sequences) - n_train, 1))
@@ -190,7 +201,10 @@ def main(argv=None):
             )
             test_counter[0] += 1
             picks.append((ind, off))
-        return _batch_of(picks)
+        return picks
+
+    def sample_test():
+        return _batch_of(sample_test_picks())
 
     # init with a plain operator (param shapes are operator-representation
     # independent; partitioned ops only work inside the shard_map)
@@ -265,19 +279,60 @@ def main(argv=None):
     # executable.  Falls back to the host path past the HBM budget (real
     # ARAP datasets have thousands of picks; synthetic/evidence runs fit).
     store = None
-    if not (n_gp or n_dp or args.dense):
+    all_picks = [
+        (si, off) for si in range(len(sequences)) for off in _valid_offsets(sequences[si])
+    ]
+    if not (n_gp or n_dp or args.dense or args.no_device_store):
         from surfacenetworks_tpu.data import DeviceDataset, IndexedBatch
 
-        def _valid_offsets(seq):
-            mo = min(len(seq) - INPUT_FRAMES - OUTPUT_FRAMES, 10 - INPUT_FRAMES)
-            return range(max(mo, 1))
-
-        all_picks = [
-            (si, off) for si in range(len(sequences)) for off in _valid_offsets(sequences[si])
-        ]
         store = DeviceDataset.build(
             all_picks, lambda pick: _batch_of([pick]), value_keys=True
         )
+
+    # device-resident GRAPH-PARALLEL pick store (round-5, the GP analogue):
+    # the round-4 GP route re-stacked + re-uploaded each batch's partitioned
+    # operator pytree every step.  Here every valid pick's partitioned
+    # operator frame + padded arrays stack ONCE onto the ('data' x 'graph')
+    # mesh (rows sharded over 'graph') and a GP batch is a [B]-index gather
+    # fused inside the jit'd step — steady-state GP steps ship only the
+    # index vector.  Scales src/as_rigid_as_possible/main.py:124-156's loop.
+    gp_store = None
+    if n_gp and not args.no_device_store:
+        from surfacenetworks_tpu.dist import GraphStore
+
+        # cheap byte estimate off one pick before stacking everything
+        op1 = batch_operator([all_picks[0]])
+        b1 = _batch_of([all_picks[0]], plain=True)
+        per_pick = sum(
+            getattr(leaf, "nbytes", 0) for leaf in jax.tree_util.tree_leaves(op1)
+        ) + b1.mask.nbytes + b1.inputs.nbytes + b1.targets.nbytes
+        if per_pick * len(all_picks) <= 6 << 30:
+            op_stacked = batch_operator(all_picks)
+            bs = [_batch_of([p], plain=True) for p in all_picks]
+            arrays = {
+                "mask": np.concatenate([np.asarray(b.mask) for b in bs], 0),
+                "inputs": np.concatenate([np.asarray(b.inputs) for b in bs], 0),
+                "targets": np.concatenate([np.asarray(b.targets) for b in bs], 0),
+            }
+            gp_store = GraphStore.build(gmesh, all_picks, op_stacked, arrays)
+    if gp_store is not None:
+        gp_pick_index = {p: i for i, p in enumerate(all_picks)}
+        log(gp_store.stats())
+
+        @functools.partial(jax.jit, donate_argnums=(0, 4))
+        def train_step_gp_idx(state, op_s, arr_s, idx, sums):
+            op_b, arr_b = gp_store.gather(op_s, arr_s, idx, batch_axis=None)
+            new_state, loss = train_step(
+                state, op_b, arr_b["mask"], arr_b["inputs"], arr_b["targets"]
+            )
+            return new_state, sums + loss
+
+        @jax.jit
+        def eval_step_gp_idx(params, op_s, arr_s, idx):
+            op_b, arr_b = gp_store.gather(op_s, arr_s, idx, batch_axis=None)
+            return eval_step(
+                params, op_b, arr_b["mask"], arr_b["inputs"], arr_b["targets"]
+            )
 
     if store is not None:
 
@@ -288,15 +343,6 @@ def main(argv=None):
                 state, b["operator"], b["mask"], b["inputs"], b["targets"]
             )
             return new_state, sums + loss
-
-        def sample_train_picks():
-            picks = []
-            for _ in range(args.batch_size):
-                ind = int(rng_np.integers(0, n_train))
-                max_off = len(sequences[ind]) - INPUT_FRAMES - OUTPUT_FRAMES
-                max_off = min(max_off, 10 - INPUT_FRAMES)
-                picks.append((ind, int(rng_np.integers(0, max(max_off, 1)))))
-            return picks
 
     metrics_log = MetricsLogger(args.result_prefix, os.path.join(args.result_dir, "log"))
     for epoch in range(args.num_epoch):
@@ -310,6 +356,19 @@ def main(argv=None):
                 if u % 64 == 63:
                     jax.block_until_ready(sums)
                 meter.tick(b.padded_vertex_count())
+            loss_sum = float(sums)
+        elif gp_store is not None:
+            sums = jnp.float32(0)
+            for u in range(args.num_updates):
+                idx = jnp.asarray(
+                    [gp_pick_index[p] for p in sample_train_picks()], jnp.int32
+                )
+                state, sums = train_step_gp_idx(
+                    state, gp_store.op, gp_store.arrays, idx, sums
+                )
+                if u % 64 == 63:
+                    jax.block_until_ready(sums)
+                meter.tick(args.batch_size * buckets.n_vertices)
             loss_sum = float(sums)
         else:
             fetch = MetricFetcher()
@@ -332,6 +391,14 @@ def main(argv=None):
         test_trials = max(len(sequences) // 5 // args.batch_size, 1)
         loss_sum = 0.0
         for _ in range(test_trials):
+            if gp_store is not None:
+                idx = jnp.asarray(
+                    [gp_pick_index[p] for p in sample_test_picks()], jnp.int32
+                )
+                loss_sum += float(
+                    eval_step_gp_idx(state.params, gp_store.op, gp_store.arrays, idx)
+                )
+                continue
             b = sample_test()
             loss_sum += float(
                 eval_step(

@@ -52,6 +52,10 @@ parser.add_argument("--graph-parallel", type=int, default=0,
                          "this many devices on the 'graph' mesh axis (lap and dirac; "
                          "encoder+decoder run in one shard_map)")
 parser.add_argument("--seed", type=int, default=17)
+parser.add_argument("--no-device-store", action="store_true",
+                    help="disable the device-resident dataset (single-device "
+                         "AND graph-parallel fast paths); keep the host "
+                         "assemble-and-upload route, mainly for A/B timing")
 config.add_config_flags(parser)
 
 
@@ -249,10 +253,64 @@ def main(argv=None):
     # batch gather, per-step sample key, and ELBO-term sums all inside the
     # step's executable
     store = None
-    if not (n_gp or n_dp):
+    if not (n_gp or n_dp or args.no_device_store):
         from surfacenetworks_tpu.data import DeviceDataset, IndexedBatch
 
         store = DeviceDataset.build(data, lambda s: make_batch([s], plain=True))
+
+    # device-resident GRAPH-PARALLEL store (round-5): both partitioned
+    # operator families (lifted + flat) of EVERY sample stack once onto the
+    # ('data' x 'graph') mesh, rows sharded over 'graph'; a GP batch is a
+    # [B]-index gather fused inside the jit'd step — steady-state GP steps
+    # ship only the index vector + per-step sample key.  The round-4 route
+    # re-stacked + re-uploaded both operator pytrees every step.
+    # Scales src/mesh_mnist/main_vae.py:150-200's loop.
+    gp_store = None
+    if n_gp and not args.no_device_store:
+        from surfacenetworks_tpu.dist import GraphStore
+
+        # cheap byte estimate off one sample before stacking everything
+        op1 = (_stack([l_ops[0]], **l_floors), _stack([f_ops[0]], **f_floors))
+        b1 = make_batch([data[0]], plain=True)
+        per_sample = sum(
+            getattr(leaf, "nbytes", 0) for leaf in jax.tree_util.tree_leaves(op1)
+        ) + b1.inputs.nbytes + b1.aux["flat_inputs"].nbytes + b1.mask.nbytes
+        if per_sample * len(data) <= 6 << 30:
+            bs = [make_batch([s], plain=True) for s in data]
+            arrays = {
+                "inputs": np.concatenate([np.asarray(b.inputs) for b in bs], 0),
+                "flat_inputs": np.concatenate(
+                    [np.asarray(b.aux["flat_inputs"]) for b in bs], 0
+                ),
+                "mask": np.concatenate([np.asarray(b.mask) for b in bs], 0),
+            }
+            gp_store = GraphStore.build(
+                gmesh, data,
+                (_stack(l_ops, **l_floors), _stack(f_ops, **f_floors)),
+                arrays,
+            )
+    if gp_store is not None:
+        log(gp_store.stats())
+
+        @functools.partial(jax.jit, donate_argnums=(0, 7))
+        def train_step_gp_idx(state, rng_epoch, u, ops, arrs, idx, kw, sums):
+            sub = jax.random.fold_in(rng_epoch, u)
+            (l_b, f_b), arr_b = gp_store.gather(ops, arrs, idx, batch_axis=None)
+            new_state, loss, bce, kld, _ = train_step(
+                state, sub, arr_b["inputs"], arr_b["flat_inputs"], l_b, f_b,
+                arr_b["mask"], kw,
+            )
+            return new_state, (sums[0] + loss, sums[1] + bce, sums[2] + kld)
+
+        @jax.jit
+        def eval_step_gp_idx(state, rng_epoch, u, ops, arrs, idx, sums):
+            sub = jax.random.fold_in(rng_epoch, 1 << 20 | u)
+            (l_b, f_b), arr_b = gp_store.gather(ops, arrs, idx, batch_axis=None)
+            _, loss, bce, kld, _ = train_step(
+                state, sub, arr_b["inputs"], arr_b["flat_inputs"], l_b, f_b,
+                arr_b["mask"], jnp.float32(1.0),
+            )
+            return (sums[0] + loss, sums[1] + bce, sums[2] + kld)
 
     if store is not None:
 
@@ -289,6 +347,19 @@ def main(argv=None):
                 if u % 64 == 63:
                     jax.block_until_ready(sums[0])
             tl, tb, tk = (float(s) for s in sums)
+        elif gp_store is not None:
+            rng, rng_epoch = jax.random.split(rng)
+            sums = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+            for u in range(steps):
+                idx = jnp.asarray(
+                    gp_store.indices(train_sampler.next_batch()), jnp.int32
+                )
+                state, sums = train_step_gp_idx(
+                    state, rng_epoch, u, gp_store.op, gp_store.arrays, idx, kw, sums
+                )
+                if u % 64 == 63:
+                    jax.block_until_ready(sums[0])
+            tl, tb, tk = (float(s) for s in sums)
         else:
             fetch = MetricFetcher()
 
@@ -312,6 +383,16 @@ def main(argv=None):
             for u in range(test_steps):
                 b = store.batch(test_sampler.next_batch())
                 sums = eval_step_idx(state, rng_epoch, u, b.tree, b.idx, sums)
+            tl, tb, tk = (float(s) for s in sums)
+        elif gp_store is not None:
+            sums = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+            for u in range(test_steps):
+                idx = jnp.asarray(
+                    gp_store.indices(test_sampler.next_batch()), jnp.int32
+                )
+                sums = eval_step_gp_idx(
+                    state, rng_epoch, u, gp_store.op, gp_store.arrays, idx, sums
+                )
             tl, tb, tk = (float(s) for s in sums)
         else:
             for _ in range(test_steps):

@@ -126,12 +126,13 @@ def test_lap_mat_model():
     assert bool(jnp.isfinite(out).all())
 
 
-def test_cascade_cli_smoke():
+def test_cascade_cli_smoke(tmp_path):
     from surfacenetworks_tpu.cli import train_normal
 
     train_normal.main(
         [
             "--synthetic", "4", "--model", "cas", "--cascade-levels", "3",
             "--batch-size", "2", "--num-epoch", "1", "--num-updates", "2", "--debug",
+            "--result-dir", str(tmp_path),
         ]
     )

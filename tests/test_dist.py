@@ -187,7 +187,7 @@ def test_dp_fast_path_matches_single_device(tmp_path):
     common = [
         "--synthetic", "8", "--batch-size", "4", "--layer", "2",
         "--num-epoch", "1", "--num-updates", "5", "--no-test", "--debug",
-        "--seed", "11",
+        "--seed", "11", "--result-dir", str(tmp_path),
     ]
 
     def run(extra):

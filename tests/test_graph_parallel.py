@@ -404,3 +404,63 @@ def test_correspondence_gp_fast_path_matches_single_device(tmp_path):
     assert len(gp) == len(single) == 2, (gp, single)
     for a, b in zip(gp, single):
         assert abs(a - b) < 5e-3 * max(abs(a), 1e-6), (gp, single)
+
+
+def test_arap_gp_device_store_matches_host_path(tmp_path):
+    """ARAP's round-5 GraphStore pick store (every valid (sequence, offset)
+    pick's partitioned operator frame placed once, [B]-index gather inside
+    the jit'd step) trains identically to the per-step host stacking route."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 4:
+        import pytest as _pytest
+
+        _pytest.skip("needs 4 virtual devices")
+    from surfacenetworks_tpu.cli import train_arap
+
+    common = [
+        "--synthetic", "3", "--num-epoch", "2", "--num-updates", "3",
+        "--layer", "2", "--batch-size", "2", "--model", "lap",
+        "--graph-parallel", "4", "--seed", "11",
+    ]
+
+    def losses_of(tag, extra):
+        train_arap.main(common + extra + ["--result-dir", str(tmp_path / tag)])
+        txt = open(tmp_path / tag / "log" / "test.log").read()
+        return [
+            float(line.split("loss ")[1].split(",")[0])
+            for line in txt.splitlines()
+            if ("Train epoch" in line or "Test epoch" in line)
+        ]
+
+    store = losses_of("store", [])
+    host = losses_of("host", ["--no-device-store"])
+    assert len(store) == len(host) == 4, (store, host)
+    for a, b in zip(store, host):
+        assert abs(a - b) < 1e-4 * max(abs(a), 1e-6), (store, host)
+
+
+def test_vae_gp_device_store_smoke(tmp_path):
+    """VAE's round-5 GraphStore route: BOTH partitioned operator families
+    (lifted + flat) stack once and gather per step; encoder+decoder still
+    run in one shard_map.  (Loss equality vs the host route is not asserted:
+    the two routes draw per-step sample keys from different rng streams,
+    same as the single-device store path.)"""
+    import jax as _jax
+
+    if len(_jax.devices()) < 2:
+        import pytest as _pytest
+
+        _pytest.skip("needs 2 virtual devices")
+    from surfacenetworks_tpu.cli import train_vae
+
+    for model in ("lap", "dirac"):
+        train_vae.main(
+            [
+                "--synthetic", "4", "--num-epoch", "1", "--num-layers", "2",
+                "--batch-size", "2", "--model", model, "--graph-parallel", "2",
+                "--result-dir", str(tmp_path / model),
+            ]
+        )
+        txt = open(tmp_path / model / "log" / "vae.log").read()
+        assert "graph store: 4 samples" in txt, txt

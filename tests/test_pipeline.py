@@ -159,7 +159,7 @@ def test_device_dataset_budget_fallback():
     assert ds is None  # over budget: callers keep the host path
 
 
-def test_store_path_matches_host_path():
+def test_store_path_matches_host_path(tmp_path):
     """The device-resident fast loop reproduces the host-assembly loop's
     losses (guards the in-jit gather + in-step accumulation against silent
     batch-content drift)."""
@@ -171,7 +171,7 @@ def test_store_path_matches_host_path():
     common = [
         "--synthetic", "6", "--batch-size", "2", "--layer", "2",
         "--num-epoch", "1", "--num-updates", "5", "--no-test", "--debug",
-        "--seed", "13",
+        "--seed", "13", "--result-dir", str(tmp_path),
     ]
 
     def run(extra):
